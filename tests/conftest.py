@@ -1,0 +1,17 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (the driver separately dry-runs them).
+#
+# NOTE: this environment pre-imports jax via sitecustomize and pins
+# JAX_PLATFORMS=axon (the TPU tunnel), so plain env-var defaults are too
+# late -- override through jax.config before any backend is initialized.
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
