@@ -261,7 +261,14 @@ def make_ip_solver(f: Callable, g: Callable, n_x: int,
         """Run the interior-point iteration.  All arguments may be batched
         via vmap.  Returns the final IPState."""
         n_it = opt.max_iter if max_iter is None else max_iter
-        state = init_state(x0, p, lb, ub) if state0 is None else state0
+        if state0 is None:
+            state = init_state(x0, p, lb, ub)
+        else:
+            # problem data changed: stale convergence flags must not freeze
+            # the new solve
+            state = state0._replace(
+                kkt_err=jnp.full_like(state0.kkt_err, jnp.inf),
+                n_iter=jnp.zeros_like(state0.n_iter))
 
         def body(_, st):
             done = st.kkt_err < opt.tol
