@@ -6,6 +6,9 @@ and separating-hyperplane collision constraints transcribed on spline
 coefficients, warm-started receding-horizon NLP solves -- batched over
 thousands of scenarios per chip, with distributed multi-vehicle consensus
 (ADMM / dual decomposition) mapped onto a TPU device mesh.
+
+Public API mirrors the reference's ``from omgtools import *`` surface
+(reference omgtools/__init__.py:1-7).
 """
 
 __version__ = "0.1.0"
@@ -13,3 +16,16 @@ __version__ = "0.1.0"
 from .ops.basis import Basis, clamped_basis, clamped_knots
 from .ops.spline import (BSpline, evalspline, running_integral,
                          definite_integral, sample_spline)
+from .environment.shapes import (Circle, Cylinder, Ring, Polyhedron, Beam,
+                                 RegularPolyhedron, Rectangle, Square, UFO,
+                                 Sphere, Polyhedron3D, RegularPrisma, Cuboid,
+                                 Cube, Plate)
+from .environment.environment import Environment
+from .environment.obstacle import Obstacle
+from .models.base import Vehicle
+from .models.holonomic import Holonomic
+from .models.fleet import Fleet, get_fleet_vehicles
+from .problems.problem import Problem
+from .problems.point2point import (Point2point, FixedTPoint2point,
+                                   FreeTPoint2point, FreeEndPoint2point)
+from .execution.simulator import Simulator, Deployer

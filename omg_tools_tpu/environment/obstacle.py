@@ -1,0 +1,221 @@
+"""Obstacles: motion prediction splines + collision constraints + simulation.
+
+Mirrors /root/reference/omgtools/environment/obstacle.py:
+
+- quadratic position prediction x0 + v t + 0.5 a t^2 encoded as a degree-2
+  BSpline on the horizon-normalized basis [0,0,0,1,1,1] with the current
+  time-offset correction (obstacle.py:80-121);
+- arbitrary spline trajectories via the ``spline_traj`` option;
+- half-space constraints over shape checkpoints (obstacle.py:334-343);
+- plant simulation: closed-form constant-acceleration propagation plus
+  user-scripted position/velocity/acceleration increment trajectories
+  (the reference integrates A x with odeint -- same result in closed form).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..modeling.opti import OptiChild, BIG
+from ..ops.basis import Basis
+from ..ops.spline import BSpline
+import jax.numpy as jnp
+
+__all__ = ["Obstacle"]
+
+
+class Obstacle(OptiChild):
+
+    def __init__(self, initial, shape, simulation=None, options=None):
+        OptiChild.__init__(self, "obstacle")
+        self.shape = shape
+        self.n_dim = shape.n_dim
+        self.initial = initial
+        self.simulation = simulation or {}
+        self.set_default_options()
+        self.set_options(options or {})
+        self.basis = Basis(np.array([0.0, 0, 0, 1, 1, 1]), 2)
+        self.prepare_simulation(initial, self.simulation)
+
+    # -- options -----------------------------------------------------------
+    def set_default_options(self):
+        self.options = {
+            "draw": True, "avoid": True, "bounce": False,
+            "spline_traj": False,
+            "spline_params": {"knots": [0, 0, 0, 1, 1, 1], "degree": 2,
+                              "coeffs": None},
+        }
+
+    def set_options(self, options):
+        self.options.update(options)
+
+    # -- modeling ----------------------------------------------------------
+    def init(self, horizon_times=None):
+        """Declare parameters and build the position-prediction spline(s)."""
+        checkpoints, _ = self.shape.get_checkpoints()
+        if not self.options["spline_traj"]:
+            x = self.define_parameter("x", self.n_dim)
+            v = self.define_parameter("v", self.n_dim)
+            a = self.define_parameter("a", self.n_dim)
+            t = self.problem_t
+            # state rewound to the horizon start (t is the elapsed time into
+            # the current knot interval; reference obstacle.py:93-95)
+            v0 = v - t * a
+            x0 = x - t * v0 - 0.5 * (t ** 2) * a
+            if horizon_times is None:
+                horizon_times = [self.problem_T]
+            elif not isinstance(horizon_times, list):
+                horizon_times = [horizon_times]
+            pos0 = [x0[k] for k in range(self.n_dim)]
+            for T in horizon_times:
+                self.pos_spline = [
+                    BSpline(self.basis, jnp.stack([
+                        pos0[k],
+                        pos0[k] + 0.5 * v0[k] * T,
+                        pos0[k] + v0[k] * T + 0.5 * a[k] * T ** 2]))
+                    for k in range(self.n_dim)]
+                pos0 = [self.pos_spline[k](1.0) for k in range(self.n_dim)]
+        else:
+            sp = self.options["spline_params"]
+            traj_basis = Basis(np.asarray(sp["knots"], dtype=np.float64),
+                               sp["degree"])
+            coeffs = self.define_parameter(
+                "traj_coeffs", (len(traj_basis), self.n_dim))
+            self.pos_spline = [BSpline(traj_basis, coeffs[:, k])
+                               for k in range(self.n_dim)]
+        self.checkpoints_par = self.define_parameter(
+            "checkpoints", (len(checkpoints), self.n_dim))
+        self.rad_par = self.define_parameter("rad", len(checkpoints))
+
+    def define_collision_constraints(self, hyperplanes):
+        """Obstacle side of the separating hyperplane: each inflated
+        checkpoint stays on the far side (reference obstacle.py:334-343,
+        non-rotating case: gon_weight = 1)."""
+        n_chck = self.checkpoints_par.shape[0]
+        for hyp in hyperplanes:
+            a, b = hyp["a"], hyp["b"]
+            for l in range(n_chck):
+                pos = [self.pos_spline[k] + self.checkpoints_par[l, k]
+                       for k in range(self.n_dim)]
+                con = -sum(a[k] * pos[k] for k in range(self.n_dim)) \
+                    + b + self.rad_par[l]
+                self.define_constraint(con, -BIG, 0.0)
+
+    def set_parameters(self, current_time):
+        parameters = {self: {}}
+        if not self.options["spline_traj"]:
+            parameters[self]["x"] = self.signals["position"][:, -1]
+            parameters[self]["v"] = self.signals["velocity"][:, -1]
+            parameters[self]["a"] = self.signals["acceleration"][:, -1]
+        else:
+            parameters[self]["traj_coeffs"] = \
+                self.options["spline_params"]["coeffs"]
+        checkpoints, rad = self.shape.get_checkpoints()
+        parameters[self]["checkpoints"] = np.asarray(checkpoints)
+        parameters[self]["rad"] = np.asarray(rad)
+        return parameters
+
+    # -- simulation --------------------------------------------------------
+    def prepare_simulation(self, initial, simulation):
+        self.signals: Dict[str, np.ndarray] = {"time": np.array([0.0])}
+        for key in ("position", "velocity", "acceleration"):
+            val = initial.get(key, np.zeros(self.n_dim))
+            self.signals[key] = np.asarray(val, dtype=np.float64).reshape(
+                self.n_dim, 1).copy()
+        # user-scripted piecewise state increments: at the given times, the
+        # corresponding quantity jumps by the given value
+        self.increments = []
+        for key, idx in (("position", 0), ("velocity", 1),
+                         ("acceleration", 2)):
+            traj = simulation.get("trajectories", {}).get(key)
+            if traj is not None:
+                for time, val in zip(traj["time"], traj["values"]):
+                    if time != 0.0:
+                        self.increments.append(
+                            (float(time), idx,
+                             np.asarray(val, dtype=np.float64)))
+        self.increments.sort(key=lambda e: e[0])
+
+    def set_state(self, dictionary):
+        for key in ("position", "velocity", "acceleration"):
+            if key in dictionary:
+                self.signals[key] = np.asarray(
+                    dictionary[key], dtype=np.float64).reshape(self.n_dim, 1)
+            else:
+                self.signals[key] = np.zeros((self.n_dim, 1))
+
+    def simulate(self, simulation_time, sample_time):
+        n_samp = int(np.round(simulation_time / sample_time, 6))
+        t0 = self.signals["time"][-1]
+        pos = self.signals["position"][:, -1].copy()
+        vel = self.signals["velocity"][:, -1].copy()
+        acc = self.signals["acceleration"][:, -1].copy()
+        times, P, V, A = [], [], [], []
+        t = t0
+        for _ in range(n_samp):
+            t_next = t + sample_time
+            # apply scripted increments that fire in (t, t_next]
+            for (ti, idx, val) in self.increments:
+                if t < ti <= t_next:
+                    if idx == 0:
+                        pos += val
+                    elif idx == 1:
+                        vel += val
+                    else:
+                        acc += val
+            pos = pos + vel * sample_time + 0.5 * acc * sample_time ** 2
+            vel = vel + acc * sample_time
+            t = t_next
+            times.append(t)
+            P.append(pos.copy())
+            V.append(vel.copy())
+            A.append(acc.copy())
+        if n_samp:
+            self.signals["time"] = np.r_[self.signals["time"], times]
+            self.signals["position"] = np.c_[self.signals["position"],
+                                             np.array(P).T]
+            self.signals["velocity"] = np.c_[self.signals["velocity"],
+                                             np.array(V).T]
+            self.signals["acceleration"] = np.c_[self.signals["acceleration"],
+                                                 np.array(A).T]
+
+    # -- predicates for bouncing ------------------------------------------
+    def overlaps_with(self, other) -> bool:
+        from ..utils.geometry import (circle_polyhedron_intersect,
+                                      rectangles_overlap)
+        from .shapes import Circle, Rectangle
+        p1 = self.signals["position"][:, -1]
+        p2 = other.signals["position"][:, -1]
+        s1, s2 = self.shape, other.shape
+        if isinstance(s1, Circle) and isinstance(s2, Circle):
+            return np.linalg.norm(p1 - p2) <= s1.radius + s2.radius
+        if isinstance(s1, Circle) and isinstance(s2, Rectangle):
+            return circle_polyhedron_intersect(p1, s1.radius,
+                                               s2.vertices + p2[:, None])
+        if isinstance(s1, Rectangle) and isinstance(s2, Circle):
+            return circle_polyhedron_intersect(p2, s2.radius,
+                                               s1.vertices + p1[:, None])
+        if isinstance(s1, Rectangle) and isinstance(s2, Rectangle):
+            return rectangles_overlap(p1, s1.width, s1.height,
+                                      p2, s2.width, s2.height)
+        return False
+
+    def is_outside_of(self, room) -> bool:
+        lims = room["shape"].get_canvas_limits()
+        pos = self.signals["position"][:, -1]
+        own = self.shape.get_canvas_limits()
+        for k in range(self.n_dim):
+            lo = lims[k][0] + room["position"][k]
+            hi = lims[k][1] + room["position"][k]
+            if pos[k] + own[k][0] < lo or pos[k] + own[k][1] > hi:
+                return True
+        return False
+
+    def draw(self, t=-1):
+        if not self.options["draw"]:
+            return [], []
+        pose = np.zeros(2 * self.n_dim)
+        pose[:self.n_dim] = self.signals["position"][:, t]
+        return self.shape.draw(pose)

@@ -100,7 +100,13 @@ class OptiContext:
         if self.mode == "layout":
             table = getattr(self, table_name)
             if key in table:
-                raise ValueError(f"duplicate {table_name[:-1]} {key}")
+                # idempotent re-declaration (the reference re-runs
+                # obstacle.init per segment); shape must agree
+                if table[key].shape != tuple(shape):
+                    raise ValueError(
+                        f"conflicting re-declaration of {key}: "
+                        f"{table[key].shape} vs {tuple(shape)}")
+                return jnp.asarray(table[key].value)
             blk = _VarBlock(child.label, name, shape, basis, value)
             table[key] = blk
             return jnp.asarray(blk.value)
@@ -253,6 +259,22 @@ class Transcription:
             lb = lb.at[sl].set(jnp.where(active, lb[sl], -BIG))
             ub = ub.at[sl].set(jnp.where(active, ub[sl], BIG))
         return lb, ub
+
+    def relayout(self):
+        """Re-run the layout pass to refresh initial values (e.g. the
+        geometric hyperplane warm starts and straight-line spline guesses
+        depend on current vehicle predictions / obstacle positions).
+        Structure must stay identical; only block init values change."""
+        ctx = OptiContext("layout")
+        self.father._attach(ctx)
+        try:
+            self._build_fn()
+        finally:
+            self.father._attach(None)
+        if list(ctx.variables.keys()) != list(self.layout.variables.keys()):
+            raise RuntimeError("relayout changed the variable structure")
+        for key, blk in ctx.variables.items():
+            self.layout.variables[key].value = blk.value
 
     # -- packing helpers ---------------------------------------------------
     def var_slice(self, child, name):

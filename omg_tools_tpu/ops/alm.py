@@ -1,0 +1,206 @@
+"""Batched augmented-Lagrangian (PHR) NLP solver.
+
+The primary solver backend replacing CasADi+Ipopt (the interior-point
+backend in ops/solver.py is kept as an alternative).  Method:
+
+- constraints lb <= g(x,p) <= ub handled by the Powell-Hestenes-Rockafellar
+  augmented Lagrangian:  with r = g + lam/rho and P = proj(r, [lb, ub]),
+      L(x) = f(x) + rho/2 * || r - P ||^2  - ||lam||^2/(2 rho)
+  whose gradient is  grad f + J^T y_hat,  y_hat = rho * (r - P)
+  (y_hat is the first-order multiplier estimate; equality rows lb == ub
+  reduce to the classic  lam + rho * c(x));
+- inner minimization by semismooth Newton:  H = W(y_hat) + rho J^T D J
+  (W = exact Hessian of f + y_hat.g via JAX AD, D = active-row mask),
+  eigenvalue-clamped to positive definite, dense batched solve, parallel
+  Armijo backtracking on the smooth merit L;
+- outer updates:  lam <- y_hat;  rho grows when feasibility stalls;
+- everything is branch-free (masked updates), jit-compiled, vmap-batched,
+  and warm-starts across MPC steps via (x, lam, rho).
+
+Row/objective scaling mirrors Ipopt's gradient-based scheme
+(ops/solver.gradient_row_scales).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .solver import BIG, gradient_row_scales
+
+__all__ = ["ALMState", "ALMOptions", "make_alm_solver"]
+
+
+class ALMOptions(NamedTuple):
+    outer_iter: int = 40
+    inner_iter: int = 6
+    tol: float = 1e-4          # stationarity tolerance (scaled space)
+    feas_tol: float = 1e-5     # feasibility tolerance (scaled space)
+    rho_init: float = 10.0
+    rho_growth: float = 10.0
+    rho_max: float = 1e6
+    feas_decrease: float = 0.25  # required violation decrease per outer iter
+    delta: float = 1e-8        # Hessian floor
+    ls_candidates: tuple = (1.0, 0.5, 0.25, 0.1, 0.04, 0.015, 6e-3, 2.5e-3,
+                            1e-3, 4e-4, 1.5e-4)
+    armijo: float = 1e-4
+    max_step: float = 10.0     # trust cap on ||dx||_inf
+
+
+class ALMState(NamedTuple):
+    x: jax.Array        # (n,)
+    lam: jax.Array      # (m,) multiplier estimates
+    rho: jax.Array      # () penalty parameter
+    feas: jax.Array     # () constraint violation (inf-norm, scaled)
+    stat: jax.Array     # () stationarity residual (inf-norm, scaled)
+    n_iter: jax.Array   # () total inner iterations applied
+
+    @property
+    def kkt_err(self):  # drop-in compatibility with IPState consumers
+        return jnp.maximum(self.feas, self.stat)
+
+
+def make_alm_solver(f: Callable, g: Callable, n_x: int,
+                    lb0: np.ndarray, ub0: np.ndarray,
+                    options: ALMOptions = ALMOptions(),
+                    row_scale: Optional[np.ndarray] = None,
+                    obj_scale: float = 1.0):
+    """Build ``solve(x0, p, lb, ub, state0=None)`` minimizing f s.t.
+    lb <= g <= ub.  All runtime arguments may be vmap-batched."""
+    lb0 = np.asarray(lb0, dtype=np.float64)
+    ub0 = np.asarray(ub0, dtype=np.float64)
+    m = lb0.shape[0]
+    opt = options
+
+    if row_scale is not None:
+        d_np = np.asarray(row_scale, dtype=np.float64)
+        d = jnp.asarray(d_np)
+        f_raw, g_raw = f, g
+        f = lambda x, p: obj_scale * f_raw(x, p)
+        g = lambda x, p: d * g_raw(x, p)
+        _scale_rt = lambda lb, ub: (
+            jnp.where(lb > -BIG / 2, d * lb, lb),
+            jnp.where(ub < BIG / 2, d * ub, ub))
+    else:
+        _scale_rt = lambda lb, ub: (lb, ub)
+
+    grad_f = jax.grad(f)
+    jac_g = jax.jacfwd(g)
+
+    def lagrangian(x, p, lam):
+        return f(x, p) + g(x, p) @ lam
+
+    hess_L = jax.hessian(lagrangian)
+
+    def multiplier_estimate(gv, lam, rho, lb, ub):
+        r = gv + lam / rho
+        proj = jnp.clip(r, lb, ub)
+        return rho * (r - proj)
+
+    def merit(x, p, lam, rho, lb, ub):
+        gv = g(x, p)
+        r = gv + lam / rho
+        proj = jnp.clip(r, lb, ub)
+        return f(x, p) + 0.5 * rho * jnp.sum((r - proj) ** 2)
+
+    def violation(gv, lb, ub):
+        return jnp.max(jnp.maximum(lb - gv, 0.0)
+                       + jnp.maximum(gv - ub, 0.0), initial=0.0)
+
+    def inner_step(x, p, lam, rho, lb, ub):
+        gv = g(x, p)
+        J = jac_g(x, p)
+        y_hat = multiplier_estimate(gv, lam, rho, lb, ub)
+        grad = grad_f(x, p) + J.T @ y_hat
+        active = (jnp.abs(y_hat) > 0.0).astype(x.dtype)
+        W = hess_L(x, p, y_hat)
+        H = W + rho * (J.T * active[None, :]) @ J
+        H = 0.5 * (H + H.T)
+        evals, evecs = jnp.linalg.eigh(H)
+        floor = jnp.maximum(opt.delta, 1e-8 * jnp.max(jnp.abs(evals)))
+        H_pd = (evecs * jnp.maximum(evals, floor)[None, :]) @ evecs.T
+        dx = -jnp.linalg.solve(H_pd, grad)
+        dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -grad
+                       / jnp.maximum(jnp.linalg.norm(grad), 1.0))
+        # trust cap: keeps the polynomial merit terms in the line-search range
+        dx_norm = jnp.max(jnp.abs(dx), initial=0.0)
+        dx = dx * jnp.minimum(1.0, opt.max_step / jnp.maximum(dx_norm, 1e-12))
+        # parallel Armijo backtracking on the smooth merit
+        m0 = merit(x, p, lam, rho, lb, ub)
+        slope = grad @ dx
+        cands = jnp.asarray(opt.ls_candidates, dtype=x.dtype)
+        mvals = jax.vmap(
+            lambda a: merit(x + a * dx, p, lam, rho, lb, ub))(cands)
+        ok = jnp.isfinite(mvals) & (mvals <= m0 + opt.armijo * cands * slope)
+        pick = jnp.argmax(ok)          # first (largest) acceptable candidate
+        alpha = jnp.where(jnp.any(ok), cands[pick], 0.0)
+        x_n = x + alpha * dx
+        return x_n, jnp.max(jnp.abs(grad), initial=0.0)
+
+    def solve(x0, p, lb, ub, state0: Optional[ALMState] = None,
+              outer_iter: Optional[int] = None):
+        lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
+        dtype = jnp.asarray(x0).dtype
+        if state0 is None:
+            state = ALMState(x=jnp.asarray(x0), lam=jnp.zeros(m, dtype=dtype),
+                             rho=jnp.asarray(opt.rho_init, dtype=dtype),
+                             feas=jnp.asarray(jnp.inf, dtype=dtype),
+                             stat=jnp.asarray(jnp.inf, dtype=dtype),
+                             n_iter=jnp.asarray(0))
+        else:
+            state = state0._replace(x=jnp.asarray(x0),
+                                    feas=jnp.full_like(state0.feas, jnp.inf),
+                                    stat=jnp.full_like(state0.stat, jnp.inf),
+                                    n_iter=jnp.zeros_like(state0.n_iter))
+
+        n_outer = opt.outer_iter if outer_iter is None else outer_iter
+
+        def outer_body(st):
+            def inner_body(_, carry):
+                x, stat = carry
+                x_n, gnorm = inner_step(x, p, st.lam, st.rho, lb, ub)
+                return (x_n, gnorm)
+
+            x_n, stat = jax.lax.fori_loop(
+                0, opt.inner_iter, inner_body,
+                (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)))
+            gv = g(x_n, p)
+            y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
+            feas_n = violation(gv, lb, ub)
+            # LANCELOT-style safeguards: accept the multiplier update only
+            # when feasibility improved enough; otherwise keep lam and grow
+            # the penalty instead
+            improved = feas_n <= jnp.maximum(
+                opt.feas_decrease * jnp.minimum(st.feas, 1e6), opt.feas_tol)
+            lam_n = jnp.where(improved, y_hat, st.lam)
+            rho_n = jnp.where(improved, st.rho,
+                              jnp.minimum(st.rho * opt.rho_growth,
+                                          opt.rho_max))
+            return ALMState(x=x_n, lam=lam_n, rho=rho_n, feas=feas_n,
+                            stat=stat, n_iter=st.n_iter + opt.inner_iter)
+
+        def cond(st):
+            done = (st.feas < opt.feas_tol) & (st.stat < opt.tol)
+            return jnp.logical_not(done) & (st.n_iter
+                                            < n_outer * opt.inner_iter)
+
+        # while_loop: converged (batched: all-converged) solves exit early
+        state = jax.lax.while_loop(cond, outer_body, state)
+        return state
+
+    def diagnose(st: ALMState, p, lb, ub):
+        lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
+        gv = g(st.x, p)
+        y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
+        grad = grad_f(st.x, p) + jac_g(st.x, p).T @ y_hat
+        return {"feas": float(violation(gv, lb, ub)),
+                "stat": float(jnp.max(jnp.abs(grad), initial=0.0)),
+                "rho": float(st.rho),
+                "row_viol": np.asarray(jnp.maximum(lb - gv, 0.0)
+                                       + jnp.maximum(gv - ub, 0.0))}
+
+    solve.diagnose = diagnose
+    return solve

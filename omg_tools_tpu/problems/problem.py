@@ -1,0 +1,264 @@
+"""Problem base class: owns the build/solve/simulate lifecycle.
+
+Mirrors /root/reference/omgtools/problems/problem.py, with the CasADi/Ipopt
+backend replaced by the transcription layer + batched interior-point solver:
+
+- ``init()``: layout-pass transcription over all children -> flat (x, p)
+  functions -> jitted IP solver (the analog of father.construct_problem +
+  create_nlp, optilayer.py:180-198);
+- ``solve()``: warm-start handling, parameter packing, one jitted solve,
+  solver-status policing with guess reset on failure
+  (problem.py:103-136,165-181);
+- ``predict/simulate/sleep`` fan-out to vehicles and environment.
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..modeling.opti import OptiChild, OptiFather, BIG
+from ..models.fleet import get_fleet_vehicles
+from ..ops.solver import make_ip_solver, IPOptions
+
+__all__ = ["Problem"]
+
+
+class Problem(OptiChild):
+
+    def __init__(self, fleet, environment, options=None, label="problem"):
+        OptiChild.__init__(self, label)
+        self.fleet, self.vehicles = get_fleet_vehicles(fleet)
+        self.environment = environment
+        self.set_default_options()
+        self.set_options(options or {})
+        self.iteration = 0
+        self.update_times: List[float] = []
+
+    # -- options -----------------------------------------------------------
+    def set_default_options(self):
+        self.options = {
+            "verbose": 2,
+            "solver": "alm",  # 'alm' (default) or 'ipm'
+            "solver_options": {"max_iter": 60, "tol": 1e-4},
+            "dtype": "float64",
+        }
+
+    def set_options(self, options):
+        for key, val in options.items():
+            if key == "solver_options":
+                self.options["solver_options"].update(val)
+            else:
+                self.options[key] = val
+
+    # -- build -------------------------------------------------------------
+    def init(self):
+        self.children = (list(self.vehicles) + self.environment.obstacles
+                         + [self.environment, self])
+        self.father = OptiFather(self.children)
+        t0 = _time.time()
+        self.transcription = self.father.transcribe(self.construct)
+        tr = self.transcription
+        sopts = self.options["solver_options"]
+        f = tr.objective
+        g = tr.constraints
+        # Ipopt-style gradient-based row scaling at the initial guess
+        x_ref = jnp.asarray(tr.initial_guess())
+        p_ref = jnp.asarray(self.pack_parameters(0.0))
+        from ..ops.solver import gradient_row_scales
+        row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
+        grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
+        obj_scale = 1.0 / max(1.0, np.max(np.abs(grad0)) / 100.0)
+        self._backend = self.options.get("solver", "alm")
+        if self._backend == "ipm":
+            ip_options = IPOptions(
+                max_iter=sopts.get("max_iter", 60),
+                tol=sopts.get("tol", 1e-4))
+            self._solver = make_ip_solver(
+                f, g, tr.n_x, tr.lb, tr.ub, ip_options,
+                row_scale=row_scale, obj_scale=obj_scale)
+            self._jit_resolve = jax.jit(
+                lambda x0, p, lb, ub, st: self._solver(
+                    x0, p, lb, ub, state0=st._replace(x=x0)))
+            self._jit_reslack = jax.jit(
+                lambda x0, p, lb, ub, st: self._solver(
+                    x0, p, lb, ub, state0=st._replace(x=x0), reslack=True))
+        else:
+            from ..ops.alm import make_alm_solver, ALMOptions
+            alm_options = ALMOptions(
+                outer_iter=sopts.get("outer_iter", 40),
+                inner_iter=sopts.get("inner_iter", 6),
+                tol=sopts.get("tol", 1e-4),
+                feas_tol=sopts.get("feas_tol", 1e-5))
+            self._solver = make_alm_solver(
+                f, g, tr.n_x, tr.lb, tr.ub, alm_options,
+                row_scale=row_scale, obj_scale=obj_scale)
+            self._jit_resolve = jax.jit(
+                lambda x0, p, lb, ub, st: self._solver(
+                    x0, p, lb, ub, state0=st))
+            self._jit_reslack = self._jit_resolve
+        self._jit_solve = jax.jit(
+            lambda x0, p, lb, ub: self._solver(x0, p, lb, ub))
+        self._shifted = False
+        self._x_result = tr.initial_guess()
+        self._ip_state = None
+        self.init_transformations()
+        if self.options["verbose"] >= 2:
+            print(f"[{self.label}] transcribed: n_x={tr.n_x} "
+                  f"n_g={tr.n_g} n_p={tr.n_p} "
+                  f"({_time.time() - t0:.2f}s)")
+
+    def init_transformations(self):
+        """Precompute warm-start shift matrices (the analog of
+        optilayer.py:451-468)."""
+        self._primal_transform = None
+        tf = getattr(self, "init_primal_transform", None)
+        if tf is not None:
+            self._primal_transform = self.transcription.spline_shift_matrix(tf)
+
+    def reinitialize(self, father=None):
+        """Reset warm start to a fresh init guess for the *current*
+        conditions: re-runs the layout pass so straight-line spline guesses
+        and hyperplane warm starts are recomputed from the present vehicle
+        prediction and obstacle positions (reference problem.py:165-181)."""
+        tr = self.transcription
+        tr.relayout()
+        self._x_result = tr.initial_guess().copy()
+        self._ip_state = None
+
+    # -- solve -------------------------------------------------------------
+    def solve(self, current_time, update_time):
+        current_time -= self.start_time  # relative time within the problem
+        self.init_step(current_time, update_time)
+        parameters = self.pack_parameters(current_time)
+        t_sym = self.time_parameter(current_time)
+        lb, ub = self.transcription.bounds(t_sym)
+        t0 = _time.time()
+        if self._ip_state is not None and self._shifted:
+            # basis shift invalidated the slack correspondence: re-center
+            # slacks/bound-duals, keep equality multipliers
+            st = self._jit_reslack(jnp.asarray(self._x_result),
+                                   jnp.asarray(parameters), lb, ub,
+                                   self._ip_state)
+        elif self._ip_state is not None:
+            # warm start primal AND dual state from the previous MPC step
+            st = self._jit_resolve(jnp.asarray(self._x_result),
+                                   jnp.asarray(parameters), lb, ub,
+                                   self._ip_state)
+        else:
+            st = self._jit_solve(jnp.asarray(self._x_result),
+                                 jnp.asarray(parameters), lb, ub)
+        self._shifted = False
+        st = jax.tree_util.tree_map(np.asarray, st)
+        t_upd = _time.time() - t0
+        self._ip_state = st
+        self._x_result = np.asarray(st.x, dtype=np.float64)
+        self.solver_stats = {"kkt_err": float(st.kkt_err),
+                             "iterations": int(st.n_iter),
+                             "time": t_upd}
+        if hasattr(st, "feas"):
+            self.solver_stats["feas"] = float(st.feas)
+        tol = self.options["solver_options"].get("tol", 1e-4)
+        # failure = infeasible result (ALM: feasibility is the trust anchor;
+        # IPM: overall KKT error)
+        failed = (float(st.feas) > 1e-3) if hasattr(st, "feas") \
+            else (float(st.kkt_err) > 100 * tol)
+        if failed:
+            if self.options["verbose"] >= 1:
+                print(f"[{self.label}] solve did not converge "
+                      f"(kkt_err={float(st.kkt_err):.2e}) -- resetting guess")
+            self.reinitialize()
+        self.update_times.append(t_upd)
+        self.iteration += 1
+        if self.options["verbose"] >= 2:
+            if (self.iteration - 1) % 20 == 0:
+                print("----|------------|------------")
+                print("%3s | %10s | %10s " % ("it", "t upd", "kkt err"))
+                print("----|------------|------------")
+            print("%3d | %.4e | %.4e " % (self.iteration, t_upd,
+                                          float(st.kkt_err)))
+
+    def pack_parameters(self, current_time) -> np.ndarray:
+        values: Dict = {}
+        for child in self.children:
+            for obj, d in child.set_parameters(current_time).items():
+                values[obj] = {**values.get(obj, {}), **d}
+        return self.transcription.pack_parameters(values)
+
+    def time_parameter(self, current_time):
+        """Value of the 't' parameter used for constraint shutdown."""
+        return float(current_time)
+
+    def get_variables(self, child, name, x=None) -> np.ndarray:
+        sl, shape = self.transcription.var_slice(child, name)
+        x = self._x_result if x is None else x
+        return np.asarray(x[sl]).reshape(shape)
+
+    def set_variables(self, value, child, name):
+        sl, shape = self.transcription.var_slice(child, name)
+        self._x_result[sl] = np.asarray(value, dtype=np.float64).reshape(-1)
+
+    def transform_primal_splines(self, matrix):
+        self._x_result = matrix @ self._x_result
+        self._shifted = True
+
+    # -- lifecycle hooks ---------------------------------------------------
+    def construct(self):
+        """Declare shared symbols and let environment/vehicles register.
+        Subclasses extend."""
+        self.environment.init()
+
+    def init_step(self, current_time, update_time):
+        pass
+
+    def initialize(self, current_time):
+        self.start_time = current_time
+
+    def predict(self, current_time, predict_time, sample_time, states=None,
+                delay=0, enforce_states=False, enforce_inputs=False):
+        if states is None:
+            states = [None] * len(self.vehicles)
+        if not isinstance(states, list):
+            states = [states]
+        if current_time == self.start_time:
+            # first iteration: integrate from the current state
+            enforce_states = True
+        for k, vehicle in enumerate(self.vehicles):
+            vehicle.predict(current_time, predict_time, sample_time,
+                            states[k], delay=delay,
+                            enforce_states=enforce_states,
+                            enforce_inputs=enforce_inputs)
+
+    def simulate(self, current_time, simulation_time, sample_time):
+        for vehicle in self.vehicles:
+            vehicle.simulate(simulation_time, sample_time)
+        self.environment.simulate(simulation_time, sample_time)
+
+    def sleep(self, current_time, sleep_time, sample_time):
+        """Hold position for sleep_time (reference problem.py:187-207)."""
+        for vehicle in self.vehicles:
+            spline_values = vehicle.signals["state"][:, -1]
+            n = len(vehicle.basis)
+            coeffs = np.tile(spline_values[:vehicle.n_spl], (n, 1))
+            vehicle.store(current_time, sample_time, [coeffs], sleep_time)
+            vehicle.simulate(sleep_time, sample_time)
+        self.environment.simulate(sleep_time, sample_time)
+
+    def compute_objective(self):
+        raise NotImplementedError
+
+    def stop_criterium(self, current_time, update_time):
+        raise NotImplementedError
+
+    def final(self):
+        pass
+
+    def store(self, current_time, update_time, sample_time):
+        raise NotImplementedError
+
+    def export(self, options=None):
+        raise NotImplementedError
