@@ -97,6 +97,10 @@ class Vehicle(OptiChild):
         for s, shape in enumerate(self.shapes):
             position = positions[s]
             checkpoints, rad = shape.get_checkpoints()
+            # python floats stay weakly typed under jax tracing (no f64
+            # promotion of f32 spline coefficients)
+            checkpoints = [[float(c) for c in chck] for chck in checkpoints]
+            rad = [float(r) for r in rad]
             if shape in hyperplanes:
                 for k, hyp in enumerate(hyperplanes[shape]):
                     a, b = hyp["a"], hyp["b"]
@@ -127,7 +131,8 @@ class Vehicle(OptiChild):
                                     tg_ha, offset):
         from ..environment.shapes import Rectangle, Square, Circle
         lims = room["shape"].get_canvas_limits()
-        room_lims = [lims[k] + room["position"][k] for k in range(self.n_dim)]
+        room_lims = [[float(v) for v in lims[k] + room["position"][k]]
+                     for k in range(self.n_dim)]
         axis_aligned = (isinstance(room["shape"], (Rectangle, Square))
                         and room["shape"].orientation == 0.0
                         and isinstance(tg_ha, (int, float)) and tg_ha == 0.0)
@@ -146,6 +151,9 @@ class Vehicle(OptiChild):
         else:
             hyp_room = room["shape"].get_hyperplanes(
                 position=room["position"])
+            for hpp in hyp_room.values():
+                hpp["a"] = [float(v) for v in hpp["a"]]
+                hpp["b"] = float(hpp["b"])
             for l, chck in enumerate(checkpoints):
                 for hpp in hyp_room.values():
                     con = (hpp["a"][0] * chck[0] + hpp["a"][1] * chck[1]) \
@@ -168,6 +176,8 @@ class Vehicle(OptiChild):
         for s, shape in enumerate(self.shapes):
             position = positions[s]
             checkpoints, rad = shape.get_checkpoints()
+            checkpoints = [[float(c) for c in chck] for chck in checkpoints]
+            rad = [float(r) for r in rad]
             if shape in hyperplanes:
                 for k, hyp in enumerate(hyperplanes[shape]):
                     a, b = hyp["a"], hyp["b"]
@@ -188,7 +198,8 @@ class Vehicle(OptiChild):
                             -BIG, 0.0)
             if self.options["room_constraints"]:
                 lims = room["shape"].get_canvas_limits()
-                room_lims = [lims[k] + room["position"][k] for k in range(3)]
+                room_lims = [[float(v) for v in lims[k] + room["position"][k]]
+                             for k in range(3)]
                 for chck in checkpoints:
                     for k in range(3):
                         self.define_constraint(

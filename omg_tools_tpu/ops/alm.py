@@ -36,18 +36,19 @@ __all__ = ["ALMState", "ALMOptions", "make_alm_solver"]
 
 class ALMOptions(NamedTuple):
     outer_iter: int = 40
-    inner_iter: int = 6
-    tol: float = 1e-4          # stationarity tolerance (scaled space)
+    inner_iter: int = 8
+    tol: float = 1e-3          # stationarity tolerance (scaled space)
     feas_tol: float = 1e-5     # feasibility tolerance (scaled space)
-    rho_init: float = 10.0
-    rho_growth: float = 10.0
-    rho_max: float = 1e6
+    rho_init: float = 100.0
+    rho_growth: float = 5.0
+    rho_max: float = 1e4
     feas_decrease: float = 0.25  # required violation decrease per outer iter
     delta: float = 1e-8        # Hessian floor
     ls_candidates: tuple = (1.0, 0.5, 0.25, 0.1, 0.04, 0.015, 6e-3, 2.5e-3,
                             1e-3, 4e-4, 1.5e-4)
     armijo: float = 1e-4
     max_step: float = 10.0     # trust cap on ||dx||_inf
+    eig_floor_rel: float = 1e-8  # relative eigenvalue floor (conditioning cap)
 
 
 class ALMState(NamedTuple):
@@ -77,13 +78,18 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
     if row_scale is not None:
         d_np = np.asarray(row_scale, dtype=np.float64)
-        d = jnp.asarray(d_np)
         f_raw, g_raw = f, g
-        f = lambda x, p: obj_scale * f_raw(x, p)
-        g = lambda x, p: d * g_raw(x, p)
-        _scale_rt = lambda lb, ub: (
-            jnp.where(lb > -BIG / 2, d * lb, lb),
-            jnp.where(ub < BIG / 2, d * ub, ub))
+
+        def f(x, p):
+            return jnp.asarray(obj_scale, dtype=x.dtype) * f_raw(x, p)
+
+        def g(x, p):
+            return jnp.asarray(d_np, dtype=x.dtype) * g_raw(x, p)
+
+        def _scale_rt(lb, ub):
+            d = jnp.asarray(d_np, dtype=lb.dtype)
+            return (jnp.where(lb > -BIG / 2, d * lb, lb),
+                    jnp.where(ub < BIG / 2, d * ub, ub))
     else:
         _scale_rt = lambda lb, ub: (lb, ub)
 
@@ -120,9 +126,14 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         H = W + rho * (J.T * active[None, :]) @ J
         H = 0.5 * (H + H.T)
         evals, evecs = jnp.linalg.eigh(H)
-        floor = jnp.maximum(opt.delta, 1e-8 * jnp.max(jnp.abs(evals)))
-        H_pd = (evecs * jnp.maximum(evals, floor)[None, :]) @ evecs.T
-        dx = -jnp.linalg.solve(H_pd, grad)
+        # saddle-free Newton in the eigenbasis: negative-curvature
+        # directions use |lambda| (sensible descent scale) instead of being
+        # clamped to a tiny floor (which would let them dominate dx); the
+        # relative floor bounds the conditioning
+        floor = jnp.maximum(opt.delta,
+                            opt.eig_floor_rel * jnp.max(jnp.abs(evals)))
+        ev_used = jnp.maximum(jnp.abs(evals), floor)
+        dx = -(evecs @ ((evecs.T @ grad) / ev_used))
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -grad
                        / jnp.maximum(jnp.linalg.norm(grad), 1.0))
         # trust cap: keeps the polynomial merit terms in the line-search range
@@ -170,12 +181,12 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             gv = g(x_n, p)
             y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
             feas_n = violation(gv, lb, ub)
-            # LANCELOT-style safeguards: accept the multiplier update only
-            # when feasibility improved enough; otherwise keep lam and grow
-            # the penalty instead
+            # multiplier update every outer round; penalty grows only when
+            # feasibility stalls (gating the lam update as well -- LANCELOT
+            # style -- proved harmful with truncated inner solves)
             improved = feas_n <= jnp.maximum(
                 opt.feas_decrease * jnp.minimum(st.feas, 1e6), opt.feas_tol)
-            lam_n = jnp.where(improved, y_hat, st.lam)
+            lam_n = y_hat
             rho_n = jnp.where(improved, st.rho,
                               jnp.minimum(st.rho * opt.rho_growth,
                                           opt.rho_max))

@@ -33,7 +33,8 @@ def eval_basis_traced(basis: Basis, t):
     time (degree and knots are static); this is the traced analog of the
     reference's symbolic ``evalspline`` (spline_extra.py:28-55).
     """
-    k = basis.knots
+    # python-float knots stay weakly typed so the traced dtype is preserved
+    k = [float(v) for v in basis.knots]
     d = basis.degree
     t = jnp.asarray(t)
     nk = len(k)
@@ -87,7 +88,8 @@ class BSpline:
         """Evaluate at static numpy points (returns (..., len(x))) or at a
         traced scalar (returns (...,))."""
         if isinstance(x, (jax.Array,)) or (hasattr(x, "aval")):
-            bvals = eval_basis_traced(self.basis, x)
+            bvals = eval_basis_traced(self.basis,
+                                      jnp.asarray(x, dtype=self.coeffs.dtype))
             return jnp.einsum("...i,i->...", self.coeffs, bvals)
         x_arr = np.atleast_1d(np.asarray(x, dtype=np.float64))
         E = self.basis.eval(x_arr)  # (len(x), n)
@@ -167,7 +169,7 @@ class BSpline:
 
 def evalspline(s: BSpline, t):
     """Evaluate spline at traced scalar t (reference: spline_extra.py:28-55)."""
-    bvals = eval_basis_traced(s.basis, t)
+    bvals = eval_basis_traced(s.basis, jnp.asarray(t, dtype=s.coeffs.dtype))
     return jnp.einsum("...i,...i->...", s.coeffs, jnp.broadcast_to(bvals, s.coeffs.shape))
 
 

@@ -91,8 +91,8 @@ class Problem(OptiChild):
             from ..ops.alm import make_alm_solver, ALMOptions
             alm_options = ALMOptions(
                 outer_iter=sopts.get("outer_iter", 40),
-                inner_iter=sopts.get("inner_iter", 6),
-                tol=sopts.get("tol", 1e-4),
+                inner_iter=sopts.get("inner_iter", 8),
+                tol=sopts.get("tol", 1e-3),
                 feas_tol=sopts.get("feas_tol", 1e-5))
             self._solver = make_alm_solver(
                 f, g, tr.n_x, tr.lb, tr.ub, alm_options,
