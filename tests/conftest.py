@@ -15,3 +15,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# host/CI tests run in f64 (like the CPU simulation path); float32 behavior
+# (the TPU path) is exercised by dedicated f32 solver tests and the bench
+jax.config.update("jax_enable_x64", True)
