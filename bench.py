@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""Benchmark: batched p2p_holonomic MPC throughput on one chip.
+
+Measures the BASELINE.json north-star metric: warm-started receding-horizon
+solves/s/chip on the canonical p2p_holonomic configuration (readme example:
+holonomic vehicle, two rectangles + one circle obstacle, fixed 10 s horizon,
+10 Hz updates), batched over randomized scenarios, plus the p50 amortized
+per-step latency.
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+N_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+OUTER_ITER = int(os.environ.get("BENCH_OUTER", "4"))
+
+
+def build_problem():
+    from omg_tools_tpu import (Holonomic, Environment, Obstacle, Rectangle,
+                               Circle, Square, Point2point)
+    vehicle = Holonomic()
+    vehicle.set_initial_conditions([-1.5, -1.5])
+    vehicle.set_terminal_conditions([2.0, 2.0])
+    environment = Environment(room={"shape": Square(5.0)})
+    environment.add_obstacle(Obstacle(
+        {"position": [-2.1, -0.5]}, shape=Rectangle(width=3.0, height=0.2)))
+    environment.add_obstacle(Obstacle(
+        {"position": [1.7, -0.5]}, shape=Rectangle(width=3.0, height=0.2)))
+    environment.add_obstacle(Obstacle(
+        {"position": [1.5, 0.5]}, shape=Circle(0.4)))
+    problem = Point2point(vehicle, environment, freeT=False)
+    problem.set_options({"verbose": 0})
+    problem.init()
+    return problem
+
+
+def main():
+    t_setup = time.time()
+    problem = build_problem()
+    from omg_tools_tpu.problems.batch import BatchedP2PRunner
+    runner = BatchedP2PRunner(problem, dtype=jnp.float32)
+
+    rng = np.random.default_rng(0)
+    starts = np.tile([-1.5, -1.5], (BATCH, 1)) + rng.uniform(-0.3, 0.3,
+                                                             (BATCH, 2))
+    goals = np.tile([2.0, 2.0], (BATCH, 1)) + rng.uniform(-0.3, 0.3,
+                                                          (BATCH, 2))
+    x0, p0, state = runner.make_batch(starts, goals)
+
+    init = jax.jit(runner.init_solver_state)
+    st = init(x0, p0)
+    jax.block_until_ready(st.x)
+
+    roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=OUTER_ITER))
+    carry, states = roll(st, p0, state)        # compile + first run
+    jax.block_until_ready(states)
+    setup_s = time.time() - t_setup
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        carry, states = roll(st, p0, state)
+        jax.block_until_ready(states)
+        times.append(time.time() - t0)
+    run_s = float(np.median(times))
+    solves_per_s = BATCH * N_STEPS / run_s
+    p50_latency_ms = run_s / N_STEPS / BATCH * 1000.0
+
+    # sanity: scenarios make progress toward their goals and stay feasible
+    states = np.asarray(states)
+    d0 = np.linalg.norm(starts - goals, axis=1)
+    d1 = np.linalg.norm(states[:, -1] - goals, axis=1)
+    progress_frac = float(np.mean((d0 - d1) / d0))
+    feas = np.asarray(carry[0].feas)
+
+    print(json.dumps({
+        "metric": "p2p_holonomic_mpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1000.0, 3),
+        "p50_step_latency_ms": round(p50_latency_ms, 4),
+        "batch": BATCH,
+        "n_steps": N_STEPS,
+        "device": str(jax.devices()[0]),
+        "mean_progress_frac": round(progress_frac, 3),
+        "feas_p50": float(np.median(feas)),
+        "feas_max": float(np.max(feas)),
+        "setup_s": round(setup_s, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -49,6 +49,9 @@ class ALMOptions(NamedTuple):
     armijo: float = 1e-4
     max_step: float = 10.0     # trust cap on ||dx||_inf
     eig_floor_rel: float = 1e-8  # relative eigenvalue floor (conditioning cap)
+    hessian: str = "gn"        # 'gn' (Gauss-Newton + Cholesky; default, TPU-fast) or
+    #                            'eigh' (saddle-free exact Newton; more robust on CPU)
+    gn_delta_rel: float = 1e-6  # GN ridge relative to the penalty scale
 
 
 class ALMState(NamedTuple):
@@ -122,18 +125,30 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         y_hat = multiplier_estimate(gv, lam, rho, lb, ub)
         grad = grad_f(x, p) + J.T @ y_hat
         active = (jnp.abs(y_hat) > 0.0).astype(x.dtype)
-        W = hess_L(x, p, y_hat)
-        H = W + rho * (J.T * active[None, :]) @ J
-        H = 0.5 * (H + H.T)
-        evals, evecs = jnp.linalg.eigh(H)
-        # saddle-free Newton in the eigenbasis: negative-curvature
-        # directions use |lambda| (sensible descent scale) instead of being
-        # clamped to a tiny floor (which would let them dominate dx); the
-        # relative floor bounds the conditioning
-        floor = jnp.maximum(opt.delta,
-                            opt.eig_floor_rel * jnp.max(jnp.abs(evals)))
-        ev_used = jnp.maximum(jnp.abs(evals), floor)
-        dx = -(evecs @ ((evecs.T @ grad) / ev_used))
+        Hpen = rho * (J.T * active[None, :]) @ J
+        if opt.hessian == "gn":
+            # Gauss-Newton: the objective is linear in this transcription, so
+            # all guaranteed-PD curvature lives in the penalty term; a ridge
+            # keeps the Cholesky well-posed.  No eigendecomposition -- this
+            # is the TPU hot path (batched Cholesky rides the MXU).
+            scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Hpen))), 1.0)
+            H = Hpen + (opt.gn_delta_rel * scale + opt.delta) \
+                * jnp.eye(n_x, dtype=x.dtype)
+            cho = jax.scipy.linalg.cho_factor(H)
+            dx = -jax.scipy.linalg.cho_solve(cho, grad)
+        else:
+            W = hess_L(x, p, y_hat)
+            H = W + Hpen
+            H = 0.5 * (H + H.T)
+            evals, evecs = jnp.linalg.eigh(H)
+            # saddle-free Newton in the eigenbasis: negative-curvature
+            # directions use |lambda| (sensible descent scale) instead of
+            # being clamped to a tiny floor (which would let them dominate
+            # dx); the relative floor bounds the conditioning
+            floor = jnp.maximum(opt.delta,
+                                opt.eig_floor_rel * jnp.max(jnp.abs(evals)))
+            ev_used = jnp.maximum(jnp.abs(evals), floor)
+            dx = -(evecs @ ((evecs.T @ grad) / ev_used))
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -grad
                        / jnp.maximum(jnp.linalg.norm(grad), 1.0))
         # trust cap: keeps the polynomial merit terms in the line-search range

@@ -1,0 +1,237 @@
+"""Batched on-device MPC rollouts.
+
+The TPU execution mode the reference has no analog for: thousands of
+receding-horizon p2p scenarios advance in lockstep on one chip.  Everything
+-- warm-start knot shifts, parameter refresh (vehicle state, obstacle
+prediction), the ALM solve, and the (ideal) plant update -- happens inside
+one jitted ``lax.scan``; the batch axis is vmapped and can be sharded over a
+device mesh for multi-chip scaling.
+
+Scope (round 1): FixedT Point2point problems with Holonomic-style vehicles
+(state = position splines, input = scaled first derivative), obstacles with
+constant-acceleration motion, ideal plant update (the reference's
+``ideal_update`` option, vehicle.py:366-369).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.alm import ALMState
+
+__all__ = ["BatchedP2PRunner"]
+
+
+class BatchedP2PRunner:
+
+    def __init__(self, problem, dtype=jnp.float32):
+        """problem: an initialized FixedTPoint2point instance (its
+        transcription/solver are reused; the host problem object is not
+        mutated)."""
+        self.problem = problem
+        self.dtype = dtype
+        tr = problem.transcription
+        self.tr = tr
+        self.solver = problem._solver
+        vehicle = problem.vehicles[0]
+        self.vehicle = vehicle
+        self.n_x = tr.n_x
+        self.n_p = tr.n_p
+
+        horizon = problem.options["horizon_time"]
+        self.horizon = horizon
+        self.knot_time = problem.knot_time
+        self.update_time = 0.1
+        self.steps_per_knot = int(round(self.knot_time / self.update_time))
+
+        # warm-start shift matrix (applied on knot passage)
+        self.shift_M = jnp.asarray(
+            tr.spline_shift_matrix(lambda basis: basis.shiftoverknot_T()),
+            dtype=dtype)
+
+        # parameter layout indices
+        def idx(child, name):
+            sl, shape = tr.par_slice(child, name)
+            return np.arange(sl.start, sl.stop), shape
+
+        self.i_t, _ = idx(problem, "t")
+        self.i_state0, _ = idx(vehicle, "state0")
+        self.i_input0, _ = idx(vehicle, "input0")
+        self.obstacle_idx = []
+        for obstacle in problem.environment.obstacles:
+            try:
+                ix, _ = idx(obstacle, "x")
+                iv, _ = idx(obstacle, "v")
+                ia, _ = idx(obstacle, "a")
+                self.obstacle_idx.append((ix, iv, ia))
+            except KeyError:
+                pass  # spline-trajectory obstacles move via their coeffs
+
+        # spline-sampling matrices at the tau grid the rollout visits:
+        # tau_k = (k mod spk) * update_time / horizon, plus one step ahead
+        spk = self.steps_per_knot
+        taus = np.arange(spk + 1) * self.update_time / horizon
+        basis = vehicle.basis
+        db, P1 = basis.derivative(1)
+        self.E0 = jnp.asarray(basis.eval(taus), dtype=dtype)          # (spk+1, n)
+        self.E1 = jnp.asarray(db.eval(taus) @ P1, dtype=dtype)        # (spk+1, n)
+        sl, shape = tr.var_slice(vehicle, "splines_seg0")
+        self.i_splines = np.arange(sl.start, sl.stop)
+        self.spline_shape = shape  # (n_coeffs, n_spl)
+
+        lb, ub = tr.bounds(0.0)
+        self.lb = jnp.asarray(np.asarray(lb), dtype=dtype)
+        self.ub = jnp.asarray(np.asarray(ub), dtype=dtype)
+
+    # -- scenario construction (host) -------------------------------------
+    def make_batch(self, starts, goals, obstacle_states=None):
+        """Build (x0, p0, state0) batches from per-scenario starts/goals
+        (B, n_dim) and optional obstacle states [(pos, vel, acc) per
+        obstacle, each (B, n_dim)].  Init guesses: vectorized straight-line
+        splines + geometric hyperplane warm starts."""
+        tr = self.tr
+        problem = self.problem
+        vehicle = self.vehicle
+        starts = np.asarray(starts, dtype=np.float64)
+        goals = np.asarray(goals, dtype=np.float64)
+        B = starts.shape[0]
+        n_coef = len(vehicle.basis)
+
+        x0 = np.tile(tr.initial_guess()[None, :], (B, 1))
+        # straight-line spline guesses
+        line = (np.linspace(0, 1, n_coef)[None, :, None]
+                * (goals - starts)[:, None, :] + starts[:, None, :])
+        x0[:, self.i_splines] = line.reshape(B, -1)
+
+        # parameters
+        p0 = np.tile(np.zeros(tr.n_p)[None, :], (B, 1))
+        base = problem.pack_parameters(0.0)
+        p0[:, :] = base[None, :]
+        p0[:, self.i_state0] = starts
+        p0[:, self.i_input0] = 0.0
+        sl, _ = tr.par_slice(vehicle, "poseT")
+        p0[:, sl.start:sl.stop] = goals
+        obs_list = problem.environment.obstacles
+        if obstacle_states is not None:
+            for (ix, iv, ia), (pos, vel, acc) in zip(self.obstacle_idx,
+                                                     obstacle_states):
+                p0[:, ix] = pos
+                p0[:, iv] = vel
+                p0[:, ia] = acc
+
+        # vectorized geometric hyperplane warm start per (obstacle, scenario)
+        for l, obstacle in enumerate(obs_list):
+            for name_prefix in ("a", "b"):
+                name = f"{name_prefix}_{vehicle.label}_seg0_0{l}"
+                try:
+                    sl, shape = tr.var_slice(problem.environment, name)
+                except KeyError:
+                    continue
+                basis_len = shape[0]
+                if obstacle_states is not None:
+                    obs_pos = np.asarray(obstacle_states[l][0])
+                else:
+                    obs_pos = np.tile(
+                        obstacle.signals["position"][:, -1][None, :], (B, 1))
+                chck, rad = obstacle.shape.get_checkpoints()
+                bbox_lo = chck.min(axis=0)[None, :] + obs_pos
+                bbox_hi = chck.max(axis=0)[None, :] + obs_pos
+                from ..ops.basis import Basis
+                hyp_basis = problem.environment._hyperplane_basis(vehicle)
+                g = hyp_basis.greville()
+                # points on straight path at greville taus: (B, nb, 2)
+                pts = (g[None, :, None] * (goals - starts)[:, None, :]
+                       + starts[:, None, :])
+                nearest = np.clip(pts, bbox_lo[:, None, :], bbox_hi[:, None, :])
+                d = pts - nearest
+                nrm = np.linalg.norm(d, axis=-1, keepdims=True)
+                # fallback perpendicular for on-path obstacles
+                perp = np.stack([-(goals - starts)[:, 1],
+                                 (goals - starts)[:, 0]], axis=-1)
+                perp /= np.maximum(np.linalg.norm(perp, axis=-1,
+                                                  keepdims=True), 1e-9)
+                d = np.where(nrm > 1e-9, d, perp[:, None, :])
+                a0 = -d / np.maximum(np.linalg.norm(d, axis=-1,
+                                                    keepdims=True), 1e-9)
+                support = (np.einsum("cd,bnd->bnc", chck, a0)
+                           - rad[None, None, :]).min(axis=-1)
+                b0 = support + np.einsum("bnd,bd->bn", a0, obs_pos) - 1e-2
+                if name_prefix == "a":
+                    x0[:, sl.start:sl.stop] = a0.reshape(B, -1)
+                else:
+                    x0[:, sl.start:sl.stop] = b0.reshape(B, -1)
+
+        return (jnp.asarray(x0, dtype=self.dtype),
+                jnp.asarray(p0, dtype=self.dtype),
+                jnp.asarray(starts, dtype=self.dtype))
+
+    # -- the jitted rollout -------------------------------------------------
+    def init_solver_state(self, x0, p0):
+        """Batched cold solve producing the initial warm state."""
+        solve = jax.vmap(lambda x, p: self.solver(x, p, self.lb, self.ub))
+        return solve(x0, p0)
+
+    def rollout_fn(self, n_steps, outer_iter=4):
+        """Return a jittable function
+        (alm_state, p, state) -> (final carry, per-step states)
+        advancing ``n_steps`` MPC periods on-device."""
+        spk = self.steps_per_knot
+        dt = self.update_time
+        solver = self.solver
+        lb, ub = self.lb, self.ub
+        M = self.shift_M
+        E0, E1 = self.E0, self.E1
+        i_spl = jnp.asarray(self.i_splines)
+        i_t = jnp.asarray(self.i_t)
+        i_state0 = jnp.asarray(self.i_state0)
+        i_input0 = jnp.asarray(self.i_input0)
+        obstacle_idx = [(jnp.asarray(ix), jnp.asarray(iv), jnp.asarray(ia))
+                        for (ix, iv, ia) in self.obstacle_idx]
+        n_coef, n_spl = self.spline_shape
+        horizon = self.horizon
+
+        def one_scenario_step(carry, k):
+            st, p, state = carry
+            phase = k % spk
+            # knot passage: shift the warm start (k > 0 and phase == 0)
+            do_shift = (phase == 0) & (k > 0)
+            x_warm = jnp.where(do_shift, M @ st.x, st.x)
+            p = p.at[i_t].set(phase * dt)
+            st_in = st._replace(x=x_warm,
+                               feas=jnp.full_like(st.feas, jnp.inf),
+                               stat=jnp.full_like(st.stat, jnp.inf),
+                               n_iter=jnp.zeros_like(st.n_iter))
+            st = solver(x_warm, p, lb, ub, state0=st_in,
+                        outer_iter=outer_iter)
+            # ideal plant update: state/input from the solved splines at the
+            # next sample instant
+            cfs = st.x[i_spl].reshape(n_coef, n_spl)
+            row = phase + 1
+            state_n = E0[row] @ cfs                  # (n_spl,)
+            input_n = (E1[row] @ cfs) / horizon
+            p = p.at[i_state0].set(state_n)
+            p = p.at[i_input0].set(input_n)
+            # obstacle constant-acceleration propagation
+            for (ix, iv, ia) in obstacle_idx:
+                pos, vel, acc = p[ix], p[iv], p[ia]
+                p = p.at[ix].set(pos + vel * dt + 0.5 * acc * dt * dt)
+                p = p.at[iv].set(vel + acc * dt)
+            return (st, p, state_n), state_n
+
+        def rollout(st, p, state):
+            batched = jax.vmap(one_scenario_step, in_axes=((0, 0, 0), None),
+                               out_axes=((0, 0, 0), 0))
+
+            def scan_body(carry, k):
+                carry, out = batched(carry, k)
+                return carry, out
+
+            carry, states = jax.lax.scan(scan_body, (st, p, state),
+                                         jnp.arange(n_steps))
+            return carry, jnp.moveaxis(states, 0, 1)  # (B, n_steps, n_spl)
+
+        return rollout

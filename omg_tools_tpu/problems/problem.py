@@ -73,6 +73,8 @@ class Problem(OptiChild):
         row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
         grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
         obj_scale = 1.0 / max(1.0, np.max(np.abs(grad0)) / 100.0)
+        self._row_scale = row_scale
+        self._obj_scale = obj_scale
         self._backend = self.options.get("solver", "alm")
         if self._backend == "ipm":
             ip_options = IPOptions(

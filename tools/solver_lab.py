@@ -106,6 +106,7 @@ def evaluate(option_sets, dtype):
 if __name__ == "__main__":
     dtype = jnp.float32 if (len(sys.argv) > 1 and sys.argv[1] == "f32") \
         else jnp.float64
+    only = os.environ.get("LAB_ONLY")
     option_sets = {
         "base(40x6,rho10,g10)": ALMOptions(),
         "long(20x12,rho10,g10,max1e8)": ALMOptions(
@@ -116,5 +117,9 @@ if __name__ == "__main__":
         "hirho(rho1e3,g10,max1e5)": ALMOptions(
             outer_iter=30, inner_iter=8, rho_init=1e3, rho_growth=10.0,
             rho_max=1e5, tol=1e-3, feas_tol=1e-4),
+        "gn(default)": ALMOptions(hessian="gn"),
+        "gn(long)": ALMOptions(hessian="gn", outer_iter=60, inner_iter=10),
     }
+    if only:
+        option_sets = {k: v for k, v in option_sets.items() if only in k}
     evaluate(option_sets, dtype)
