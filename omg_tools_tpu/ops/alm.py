@@ -168,6 +168,12 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
     def solve(x0, p, lb, ub, state0: Optional[ALMState] = None,
               outer_iter: Optional[int] = None):
+        # TPU: full-f32 matmuls (the default bf16-multiply path destroys
+        # Jacobian/Cholesky accuracy for these ill-conditioned systems)
+        with jax.default_matmul_precision("highest"):
+            return _solve(x0, p, lb, ub, state0, outer_iter)
+
+    def _solve(x0, p, lb, ub, state0, outer_iter):
         lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
         dtype = jnp.asarray(x0).dtype
         if state0 is None:
