@@ -24,6 +24,14 @@ from .environment.environment import Environment
 from .environment.obstacle import Obstacle
 from .models.base import Vehicle
 from .models.holonomic import Holonomic
+from .models.holonomic1d import Holonomic1D
+from .models.holonomic3d import Holonomic3D
+from .models.holonomicorient import HolonomicOrient
+from .models.dubins import Dubins
+from .models.quadrotor import Quadrotor
+from .models.bicycle import Bicycle
+from .models.trailer import Trailer
+from .models.tool import Tool
 from .models.fleet import Fleet, get_fleet_vehicles
 from .problems.problem import Problem
 from .problems.point2point import (Point2point, FixedTPoint2point,

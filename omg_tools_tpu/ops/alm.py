@@ -67,13 +67,55 @@ class ALMState(NamedTuple):
         return jnp.maximum(self.feas, self.stat)
 
 
+def detect_quadratic_structure(g, n_x, p_ref, x_probe=None, tol=1e-6,
+                               f=None):
+    """If g(x, p) = c(p) + A(p) x + x^T Q x with CONSTANT Q (true for all
+    fixed-horizon spline transcriptions: products of spline variables with
+    constant basis tensors), return Q as an (m, n, n) numpy tensor; else
+    None.  Validated against a direct evaluation at a random probe point."""
+    import jax
+
+    p_ref = jnp.asarray(p_ref)
+    zero = jnp.zeros(n_x, dtype=p_ref.dtype)
+    # Hessian wrt x at (0, p_ref): rows of Q (forward-over-forward)
+    Q = np.asarray(jax.jacfwd(jax.jacfwd(g))(zero, p_ref)) * 0.5
+    rng = np.random.default_rng(0)
+    x_probe = rng.standard_normal(n_x) if x_probe is None else x_probe
+    x_probe = jnp.asarray(x_probe, dtype=p_ref.dtype)
+    p_probe = p_ref + jnp.asarray(rng.standard_normal(p_ref.shape[0]) * 0.1,
+                                  dtype=p_ref.dtype)
+    c = g(zero, p_probe)
+    A_x = jax.jvp(lambda x: g(x, p_probe), (zero,), (x_probe,))[1]
+    pred = c + A_x + jnp.einsum("kij,i,j->k", jnp.asarray(Q), x_probe,
+                                x_probe)
+    direct = g(x_probe, p_probe)
+    err = float(jnp.max(jnp.abs(pred - direct)))
+    scale = float(jnp.max(jnp.abs(direct))) + 1.0
+    if err > tol * scale:
+        return None
+    if f is not None:
+        # the fast path also assumes a linear objective
+        g0 = jax.grad(f)(zero, p_probe)
+        g1 = jax.grad(f)(x_probe, p_probe)
+        if float(jnp.max(jnp.abs(g1 - g0))) > tol * (
+                float(jnp.max(jnp.abs(g0))) + 1.0):
+            return None
+    return Q
+
+
 def make_alm_solver(f: Callable, g: Callable, n_x: int,
                     lb0: np.ndarray, ub0: np.ndarray,
                     options: ALMOptions = ALMOptions(),
                     row_scale: Optional[np.ndarray] = None,
-                    obj_scale: float = 1.0):
+                    obj_scale: float = 1.0,
+                    quadratic_Q: Optional[np.ndarray] = None):
     """Build ``solve(x0, p, lb, ub, state0=None)`` minimizing f s.t.
-    lb <= g <= ub.  All runtime arguments may be vmap-batched."""
+    lb <= g <= ub.  All runtime arguments may be vmap-batched.
+
+    ``quadratic_Q``: constant (m, n, n) tensor from
+    :func:`detect_quadratic_structure`.  When given, the inner loop uses the
+    closed quadratic form -- constraint values and Jacobians become three
+    large einsums with AD only once per solve (the TPU hot path)."""
     lb0 = np.asarray(lb0, dtype=np.float64)
     ub0 = np.asarray(ub0, dtype=np.float64)
     m = lb0.shape[0]
@@ -99,6 +141,12 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
     grad_f = jax.grad(f)
     jac_g = jax.jacfwd(g)
 
+    Qs_np = None
+    if quadratic_Q is not None:
+        Qs_np = np.asarray(quadratic_Q, dtype=np.float64)
+        if row_scale is not None:
+            Qs_np = Qs_np * d_np[:, None, None]
+
     def lagrangian(x, p, lam):
         return f(x, p) + g(x, p) @ lam
 
@@ -109,21 +157,62 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         proj = jnp.clip(r, lb, ub)
         return rho * (r - proj)
 
-    def merit(x, p, lam, rho, lb, ub):
-        gv = g(x, p)
-        r = gv + lam / rho
-        proj = jnp.clip(r, lb, ub)
-        return f(x, p) + 0.5 * rho * jnp.sum((r - proj) ** 2)
-
     def violation(gv, lb, ub):
         return jnp.max(jnp.maximum(lb - gv, 0.0)
                        + jnp.maximum(gv - ub, 0.0), initial=0.0)
 
-    def inner_step(x, p, lam, rho, lb, ub):
-        gv = g(x, p)
-        J = jac_g(x, p)
+    def make_evals(p, dtype):
+        """Per-solve evaluation handles.  In quadratic mode
+        (g = c + A x + x^T Q x with constant Q) AD runs once per solve at
+        x = 0 and the whole inner iteration is a handful of large
+        matmuls/einsums; the line search costs one extra matvec because the
+        merit is exactly quadratic along the step direction."""
+        if Qs_np is not None:
+            zero = jnp.zeros(n_x, dtype=dtype)
+            cC = g(zero, p)
+            A = jac_g(zero, p)
+            f0 = f(zero, p)
+            gf = grad_f(zero, p)   # objective is linear in x
+            Qs = jnp.asarray(Qs_np, dtype=dtype)
+
+            def J_eval(x):
+                return A + 2.0 * jnp.einsum("kij,j->ki", Qs, x)
+
+            def g_from_J(x, J):
+                # g(x) = c + A x + x^T Q x = c + 0.5 (A + J(x)) x
+                return cC + 0.5 * ((A + J) @ x)
+
+            def quad_dir(d):
+                return jnp.einsum("kij,i,j->k", Qs, d, d)
+
+            def f_eval(x):
+                return f0 + gf @ x
+
+            def gf_eval(x):
+                return gf
+
+            def g_eval(x):
+                return g_from_J(x, J_eval(x))
+
+            return dict(quadratic=True, g=g_eval, J=J_eval,
+                        g_from_J=g_from_J, quad_dir=quad_dir, f=f_eval,
+                        gf=gf_eval)
+        return dict(quadratic=False,
+                    g=lambda x: g(x, p),
+                    J=lambda x: jac_g(x, p),
+                    f=lambda x: f(x, p),
+                    gf=lambda x: grad_f(x, p))
+
+    def penalty_term(gv, lam, rho, lb, ub):
+        r = gv + lam / rho
+        proj = jnp.clip(r, lb, ub)
+        return 0.5 * rho * jnp.sum((r - proj) ** 2)
+
+    def inner_step(evals, p, x, lam, rho, lb, ub):
+        J = evals["J"](x)
+        gv = evals["g_from_J"](x, J) if evals["quadratic"] else evals["g"](x)
         y_hat = multiplier_estimate(gv, lam, rho, lb, ub)
-        grad = grad_f(x, p) + J.T @ y_hat
+        grad = evals["gf"](x) + J.T @ y_hat
         active = (jnp.abs(y_hat) > 0.0).astype(x.dtype)
         Hpen = rho * (J.T * active[None, :]) @ J
         if opt.hessian == "gn":
@@ -137,17 +226,21 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             cho = jax.scipy.linalg.cho_factor(H)
             dx = -jax.scipy.linalg.cho_solve(cho, grad)
         else:
-            W = hess_L(x, p, y_hat)
+            if Qs_np is not None:
+                W = 2.0 * jnp.einsum("kij,k->ij",
+                                     jnp.asarray(Qs_np, dtype=x.dtype), y_hat)
+            else:
+                W = hess_L(x, p, y_hat)
             H = W + Hpen
             H = 0.5 * (H + H.T)
-            evals, evecs = jnp.linalg.eigh(H)
+            evals_, evecs = jnp.linalg.eigh(H)
             # saddle-free Newton in the eigenbasis: negative-curvature
             # directions use |lambda| (sensible descent scale) instead of
             # being clamped to a tiny floor (which would let them dominate
             # dx); the relative floor bounds the conditioning
             floor = jnp.maximum(opt.delta,
-                                opt.eig_floor_rel * jnp.max(jnp.abs(evals)))
-            ev_used = jnp.maximum(jnp.abs(evals), floor)
+                                opt.eig_floor_rel * jnp.max(jnp.abs(evals_)))
+            ev_used = jnp.maximum(jnp.abs(evals_), floor)
             dx = -(evecs @ ((evecs.T @ grad) / ev_used))
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -grad
                        / jnp.maximum(jnp.linalg.norm(grad), 1.0))
@@ -155,11 +248,25 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         dx_norm = jnp.max(jnp.abs(dx), initial=0.0)
         dx = dx * jnp.minimum(1.0, opt.max_step / jnp.maximum(dx_norm, 1e-12))
         # parallel Armijo backtracking on the smooth merit
-        m0 = merit(x, p, lam, rho, lb, ub)
         slope = grad @ dx
         cands = jnp.asarray(opt.ls_candidates, dtype=x.dtype)
-        mvals = jax.vmap(
-            lambda a: merit(x + a * dx, p, lam, rho, lb, ub))(cands)
+        m0 = evals["f"](x) + penalty_term(gv, lam, rho, lb, ub)
+        if evals["quadratic"]:
+            # exact directional expansion: g(x + a d) = gv + a J d + a^2 d'Qd
+            Jd = J @ dx
+            qd = evals["quad_dir"](dx)
+            df = (evals["gf"](x) @ dx)
+
+            def merit_at(a):
+                return (evals["f"](x) + a * df
+                        + penalty_term(gv + a * Jd + (a * a) * qd,
+                                       lam, rho, lb, ub))
+        else:
+            def merit_at(a):
+                xa = x + a * dx
+                return evals["f"](xa) + penalty_term(evals["g"](xa),
+                                                     lam, rho, lb, ub)
+        mvals = jax.vmap(merit_at)(cands)
         ok = jnp.isfinite(mvals) & (mvals <= m0 + opt.armijo * cands * slope)
         pick = jnp.argmax(ok)          # first (largest) acceptable candidate
         alpha = jnp.where(jnp.any(ok), cands[pick], 0.0)
@@ -189,17 +296,18 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                                     n_iter=jnp.zeros_like(state0.n_iter))
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
+        evals = make_evals(jnp.asarray(p), dtype)
 
         def outer_body(st):
             def inner_body(_, carry):
                 x, stat = carry
-                x_n, gnorm = inner_step(x, p, st.lam, st.rho, lb, ub)
+                x_n, gnorm = inner_step(evals, p, x, st.lam, st.rho, lb, ub)
                 return (x_n, gnorm)
 
             x_n, stat = jax.lax.fori_loop(
                 0, opt.inner_iter, inner_body,
                 (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)))
-            gv = g(x_n, p)
+            gv = evals["g"](x_n)
             y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
             feas_n = violation(gv, lb, ub)
             # multiplier update every outer round; penalty grows only when

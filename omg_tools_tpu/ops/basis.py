@@ -140,9 +140,28 @@ class Basis:
     def solve_collocation(self, rhs_fn) -> np.ndarray:
         """Solve B(greville) @ C = rhs_fn(greville) for C (the universal
         basis-change mechanism).  Exact whenever the function sampled by
-        ``rhs_fn`` lies in this basis' spline space."""
+        ``rhs_fn`` lies in this basis' spline space.
+
+        High interior knot multiplicities (>= degree, produced by repeated
+        spline products) can make the Greville collocation singular; then a
+        dense-grid least-squares fit is used instead (still exact for
+        in-space functions)."""
         lu, g = self._colloc_lu()
-        T = sla.lu_solve(lu, rhs_fn(g))
+        with np.errstate(all="ignore"):
+            T = sla.lu_solve(lu, rhs_fn(g))
+        if np.all(np.isfinite(T)):
+            T[np.abs(T) < _EPS_ZERO] = 0.0
+            return T
+        # fallback: oversampled least squares (avoid knots: open intervals)
+        lo, hi = self.domain
+        grid = []
+        uniq = np.unique(self.knots)
+        for a, b in zip(uniq[:-1], uniq[1:]):
+            grid.append(np.linspace(a, b, self.degree + 3)[1:-1])
+        grid = np.concatenate(grid + [np.array([lo, hi])])
+        grid = np.sort(grid)
+        B = self.eval(grid)
+        T, *_ = np.linalg.lstsq(B, np.asarray(rhs_fn(grid)), rcond=None)
         T[np.abs(T) < _EPS_ZERO] = 0.0
         return T
 
@@ -219,12 +238,13 @@ class Basis:
         exact product spline.  (reference: spline.py:419-436 via pairs+transform)"""
         def compute():
             prod = self * other
-            lu, g = prod._colloc_lu()
-            E1 = self.eval(g)            # (np, n1)
-            E2 = other.eval(g)           # (np, n2)
-            M = E1[:, :, None] * E2[:, None, :]          # (np, n1, n2)
-            W = sla.lu_solve(lu, M.reshape(len(prod), -1))
-            W[np.abs(W) < _EPS_ZERO] = 0.0
+
+            def rhs(g):
+                E1 = self.eval(g)            # (npts, n1)
+                E2 = other.eval(g)           # (npts, n2)
+                return (E1[:, :, None] * E2[:, None, :]).reshape(len(g), -1)
+
+            W = prod.solve_collocation(rhs)
             return prod, W.reshape(len(prod), len(self), len(other))
         return self._memoized(("product", id(other)), compute)
 
@@ -263,19 +283,20 @@ class Basis:
             rows[inside] = self.eval(x[inside])
         out = ~inside
         if out.any():
-            # Taylor expansion of the last polynomial piece around t_end
-            taylor = np.zeros((np.sum(out), len(self)))
-            fact = 1.0
-            for j in range(self.degree + 1):
-                if j == 0:
-                    Bj, Pj = self, np.eye(len(self))
-                else:
-                    Bj, Pj = self.derivative(j)
-                    fact *= j
-                end_row = Bj.eval(np.array([t_end]))[0] @ Pj
-                h = (x[out] - t_end) ** j / fact
-                taylor += h[:, None] * end_row[None, :]
-            rows[out] = taylor
+            # polynomial extension of the last knot interval: fit each basis
+            # function's restriction to the last segment exactly (degree-d
+            # polynomial through d+1 local samples) and evaluate beyond.
+            # Robust for any interior multiplicity (global derivative
+            # matrices would divide by zero-width knot spans on C^0 bases).
+            d = self.degree
+            seg_lo = self.knots[self.knots < t_end].max()
+            pts = np.linspace(seg_lo, t_end, d + 1)
+            # sample strictly inside to stay on the last polynomial piece
+            pts = seg_lo + (pts - seg_lo) * (1 - 1e-9) + 1e-12
+            V = np.vander(pts - seg_lo, d + 1, increasing=True)
+            C = np.linalg.solve(V, self.eval(pts))       # (d+1, n)
+            Vx = np.vander(x[out] - seg_lo, d + 1, increasing=True)
+            rows[out] = Vx @ C
         return rows
 
     def shiftoverknot_T(self) -> np.ndarray:

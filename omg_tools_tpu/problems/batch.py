@@ -36,7 +36,18 @@ class BatchedP2PRunner:
         self.dtype = dtype
         tr = problem.transcription
         self.tr = tr
-        self.solver = problem._solver
+        # dedicated solver with quadratic-structure exploitation: constraint
+        # values/Jacobians become large batched einsums (AD once per solve)
+        from ..ops.alm import (make_alm_solver, ALMOptions,
+                               detect_quadratic_structure)
+        p_ref = jnp.asarray(problem.pack_parameters(0.0))
+        Q = detect_quadratic_structure(tr.constraints, tr.n_x, p_ref,
+                                       f=tr.objective)
+        self.solver = make_alm_solver(
+            tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
+            ALMOptions(), row_scale=problem._row_scale,
+            obj_scale=problem._obj_scale, quadratic_Q=Q)
+        self.structure = "quadratic" if Q is not None else "generic"
         vehicle = problem.vehicles[0]
         self.vehicle = vehicle
         self.n_x = tr.n_x

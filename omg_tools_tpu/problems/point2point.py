@@ -53,6 +53,7 @@ class Point2pointProblem(Problem):
             child.problem_T = self.T
         Problem.construct(self)
         for vehicle in self.vehicles:
+            vehicle.init()
             splines = vehicle.define_splines(n_seg=1)
             vehicle.define_trajectory_constraints(splines[0], self.T)
             self.environment.define_collision_constraints(vehicle, splines,
@@ -259,6 +260,7 @@ class FreeTPoint2point(Point2pointProblem):
             child.problem_T = self.T
         Problem.construct(self)
         for vehicle in self.vehicles:
+            vehicle.init()
             splines = vehicle.define_splines(n_seg=1)
             vehicle.define_trajectory_constraints(splines[0], self.T)
             self.environment.define_collision_constraints(vehicle, splines,
@@ -275,7 +277,7 @@ class FreeTPoint2point(Point2pointProblem):
         for vehicle in self.vehicles:
             term_con, term_con_der = vehicle.get_terminal_constraints(
                 vehicle.splines[0])
-            if self.options["no_term_con_der"]:
+            if self.options.get("no_term_con_der", False):
                 term_con_der = []
             for spline, condition in term_con + term_con_der:
                 self.define_constraint(

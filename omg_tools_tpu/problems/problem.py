@@ -90,15 +90,28 @@ class Problem(OptiChild):
                 lambda x0, p, lb, ub, st: self._solver(
                     x0, p, lb, ub, state0=st._replace(x=x0), reslack=True))
         else:
-            from ..ops.alm import make_alm_solver, ALMOptions
+            from ..ops.alm import (make_alm_solver, ALMOptions,
+                                   detect_quadratic_structure)
             alm_options = ALMOptions(
                 outer_iter=sopts.get("outer_iter", 40),
                 inner_iter=sopts.get("inner_iter", 8),
                 tol=sopts.get("tol", 1e-3),
                 feas_tol=sopts.get("feas_tol", 1e-5))
+            # dense-Q structure pays off batched (TPU); the single-scenario
+            # host path is faster with the AD-per-iteration generic mode
+            quadratic_Q = None
+            if self.options.get("exploit_structure", False):
+                try:
+                    quadratic_Q = detect_quadratic_structure(
+                        g, tr.n_x, p_ref, f=f)
+                except Exception:
+                    quadratic_Q = None
+            self._structure = ("quadratic" if quadratic_Q is not None
+                               else "generic")
             self._solver = make_alm_solver(
                 f, g, tr.n_x, tr.lb, tr.ub, alm_options,
-                row_scale=row_scale, obj_scale=obj_scale)
+                row_scale=row_scale, obj_scale=obj_scale,
+                quadratic_Q=quadratic_Q)
             self._jit_resolve = jax.jit(
                 lambda x0, p, lb, ub, st: self._solver(
                     x0, p, lb, ub, state0=st))
