@@ -36,4 +36,7 @@ from .models.fleet import Fleet, get_fleet_vehicles
 from .problems.problem import Problem
 from .problems.point2point import (Point2point, FixedTPoint2point,
                                    FreeTPoint2point, FreeEndPoint2point)
+from .problems.admm import ADMMProblem, DistributedProblem
+from .problems.formation import FormationPoint2point
+from .problems.formation_central import FormationPoint2pointCentral
 from .execution.simulator import Simulator, Deployer

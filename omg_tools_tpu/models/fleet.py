@@ -60,23 +60,36 @@ class Fleet:
         return self.nghb_list[vehicle]
 
     # -- formation configuration ------------------------------------------
-    def set_configuration(self, configuration):
-        """configuration: list of per-vehicle relative positions (in the
-        fleet-center frame); builds rel_pos_c per vehicle and pairwise
-        rel_config (reference fleet.py:62-101)."""
-        self.configuration = {
-            veh: np.asarray(configuration[l], dtype=np.float64)
-            for l, veh in enumerate(self.vehicles)}
-        centroid = np.mean([self.configuration[v] for v in self.vehicles],
-                           axis=0)
+    def set_configuration(self, configuration, orientation=0.0):
+        """configuration: per-vehicle offsets from the fleet center, either
+        lists (mapped onto spline indices 0..n-1) or {spline_index: value}
+        dicts.  Builds rel_pos_c = -offset per vehicle (center = position +
+        rel_pos_c) and pairwise rel_config (reference fleet.py:62-101)."""
+        if len(configuration) != self.N:
+            raise ValueError("need one configuration entry per vehicle")
+        cth, sth = np.cos(-orientation), np.sin(-orientation)
+        self.configuration = {}
+        for l, config in enumerate(configuration):
+            if isinstance(config, dict):
+                self.configuration[self.vehicles[l]] = dict(config)
+                continue
+            config = list(config)
+            if len(config) == 2:
+                config = [config[0] * cth - config[1] * sth,
+                          config[0] * sth + config[1] * cth]
+            self.configuration[self.vehicles[l]] = dict(enumerate(config))
+        for veh in self.vehicles:
+            ind = sorted(self.configuration[veh].keys())
+            veh.rel_pos_c = [-self.configuration[veh][k] for k in ind]
         self.rel_config = {}
         for veh in self.vehicles:
             self.rel_config[veh] = {}
+            ind_veh = sorted(self.configuration[veh].keys())
             for nghb in self.get_neighbors(veh):
-                self.rel_config[veh][nghb] = (self.configuration[veh]
-                                              - self.configuration[nghb])
-            # relative position wrt the fleet center
-            veh.rel_pos_c = self.configuration[veh] - centroid
+                ind_nghb = sorted(self.configuration[nghb].keys())
+                self.rel_config[veh][nghb] = [
+                    self.configuration[veh][iv] - self.configuration[nghb][ig]
+                    for iv, ig in zip(ind_veh, ind_nghb)]
 
     def get_rel_config(self, vehicle):
         return self.rel_config[vehicle]

@@ -161,18 +161,33 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         return jnp.max(jnp.maximum(lb - gv, 0.0)
                        + jnp.maximum(gv - ub, 0.0), initial=0.0)
 
-    def make_evals(p, dtype):
+    def make_evals(p, dtype, cA=None):
         """Per-solve evaluation handles.  In quadratic mode
         (g = c + A x + x^T Q x with constant Q) AD runs once per solve at
         x = 0 and the whole inner iteration is a handful of large
         matmuls/einsums; the line search costs one extra matvec because the
-        merit is exactly quadratic along the step direction."""
+        merit is exactly quadratic along the step direction.
+
+        ``cA``: optional externally-precomputed (c, A, f0, gf) in RAW
+        (unscaled) units -- e.g. from the batched rollout's per-phase affine
+        tensors -- eliminating even the once-per-solve AD."""
         if Qs_np is not None:
-            zero = jnp.zeros(n_x, dtype=dtype)
-            cC = g(zero, p)
-            A = jac_g(zero, p)
-            f0 = f(zero, p)
-            gf = grad_f(zero, p)   # objective is linear in x
+            if cA is not None:
+                c_raw, A_raw, f0_raw, gf_raw = cA
+                if row_scale is not None:
+                    d = jnp.asarray(d_np, dtype=dtype)
+                    cC = d * c_raw
+                    A = d[:, None] * A_raw
+                    f0 = obj_scale * f0_raw
+                    gf = obj_scale * gf_raw
+                else:
+                    cC, A, f0, gf = c_raw, A_raw, f0_raw, gf_raw
+            else:
+                zero = jnp.zeros(n_x, dtype=dtype)
+                cC = g(zero, p)
+                A = jac_g(zero, p)
+                f0 = f(zero, p)
+                gf = grad_f(zero, p)   # objective is linear in x
             Qs = jnp.asarray(Qs_np, dtype=dtype)
 
             def J_eval(x):
@@ -274,13 +289,13 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         return x_n, jnp.max(jnp.abs(grad), initial=0.0)
 
     def solve(x0, p, lb, ub, state0: Optional[ALMState] = None,
-              outer_iter: Optional[int] = None):
+              outer_iter: Optional[int] = None, cA=None):
         # TPU: full-f32 matmuls (the default bf16-multiply path destroys
         # Jacobian/Cholesky accuracy for these ill-conditioned systems)
         with jax.default_matmul_precision("highest"):
-            return _solve(x0, p, lb, ub, state0, outer_iter)
+            return _solve(x0, p, lb, ub, state0, outer_iter, cA)
 
-    def _solve(x0, p, lb, ub, state0, outer_iter):
+    def _solve(x0, p, lb, ub, state0, outer_iter, cA=None):
         lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
         dtype = jnp.asarray(x0).dtype
         if state0 is None:
@@ -296,7 +311,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                                     n_iter=jnp.zeros_like(state0.n_iter))
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
-        evals = make_evals(jnp.asarray(p), dtype)
+        evals = make_evals(jnp.asarray(p), dtype, cA=cA)
 
         def outer_body(st):
             def inner_body(_, carry):

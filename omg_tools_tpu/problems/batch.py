@@ -98,6 +98,85 @@ class BatchedP2PRunner:
         self.lb = jnp.asarray(np.asarray(lb), dtype=dtype)
         self.ub = jnp.asarray(np.asarray(ub), dtype=dtype)
 
+        # per-phase affine tensors for c(p), A(p): for each discrete in-knot
+        # time t the constraint constants/Jacobian are AFFINE in the
+        # remaining parameters, so the rollout needs no AD at all
+        self._build_affine_cA()
+
+    def _build_affine_cA(self):
+        tr = self.tr
+        problem = self.problem
+        g_fn = tr.constraints
+        f_fn = tr.objective
+        n_p = tr.n_p
+        spk = self.steps_per_knot
+        zero = jnp.zeros(tr.n_x)
+        p_base = problem.pack_parameters(0.0)
+        jac_x = jax.jit(jax.jacfwd(g_fn))
+        jac_xp = jax.jit(jax.jacfwd(jax.jacfwd(g_fn), argnums=1))
+        jac_p = jax.jit(jax.jacfwd(g_fn, argnums=1))
+        grad_f = jax.jit(jax.grad(f_fn))
+        c0s, C1s, A0s, TAs, f0s, gfs = [], [], [], [], [], []
+        ok = self.structure == "quadratic"
+        for ph in range(spk):
+            p_ref = p_base.copy()
+            p_ref[self.i_t] = ph * self.update_time
+            pj = jnp.asarray(p_ref)
+            C1 = np.asarray(jac_p(zero, pj))
+            c0 = np.asarray(g_fn(zero, pj)) - C1 @ p_ref
+            TA = np.asarray(jac_xp(zero, pj))          # (m, n, n_p)
+            A0 = np.asarray(jac_x(zero, pj)) - TA @ p_ref
+            gf = np.asarray(grad_f(zero, pj))
+            f0 = float(f_fn(zero, pj))
+            # validate affineness in the parameters that actually vary over
+            # a rollout (vehicle state, goal, obstacle states); fixed
+            # parameters (t, T, shape data) may enter nonlinearly
+            rng = np.random.default_rng(ph)
+            varying = [self.i_state0, self.i_input0]
+            sl, _ = tr.par_slice(problem.vehicles[0], "poseT")
+            varying.append(np.arange(sl.start, sl.stop))
+            for (ix, iv, ia) in self.obstacle_idx:
+                varying.extend([ix, iv, ia])
+            varying = np.concatenate(varying)
+            p_probe = p_ref.copy()
+            p_probe[varying] += rng.standard_normal(len(varying)) * 0.1
+            c_pred = c0 + C1 @ p_probe
+            c_direct = np.asarray(g_fn(zero, jnp.asarray(p_probe)))
+            if np.max(np.abs(c_pred - c_direct)) > 1e-6 * (
+                    np.max(np.abs(c_direct)) + 1.0):
+                ok = False
+                break
+            A_pred = A0 + TA @ p_probe
+            A_direct = np.asarray(jac_x(zero, jnp.asarray(p_probe)))
+            if np.max(np.abs(A_pred - A_direct)) > 1e-6 * (
+                    np.max(np.abs(A_direct)) + 1.0):
+                ok = False
+                break
+            c0s.append(c0); C1s.append(C1)
+            A0s.append(A0); TAs.append(TA)
+            f0s.append(f0); gfs.append(gf)
+        if ok:
+            dt = self.dtype
+            self.c0 = jnp.asarray(np.stack(c0s), dtype=dt)
+            self.C1 = jnp.asarray(np.stack(C1s), dtype=dt)
+            self.A0 = jnp.asarray(np.stack(A0s), dtype=dt)
+            self.TA = jnp.asarray(np.stack(TAs), dtype=dt)
+            self.f0 = jnp.asarray(np.asarray(f0s), dtype=dt)
+            self.gf = jnp.asarray(np.stack(gfs), dtype=dt)
+            self.affine_cA = True
+        else:
+            self.affine_cA = False
+
+    def _cA_at(self, phase, p):
+        """(c, A, f0, gf) for one scenario at the given phase (traced)."""
+        c = jnp.take(self.c0, phase, axis=0) \
+            + jnp.take(self.C1, phase, axis=0) @ p
+        A = jnp.take(self.A0, phase, axis=0) \
+            + jnp.einsum("mnq,q->mn", jnp.take(self.TA, phase, axis=0), p)
+        f0 = jnp.take(self.f0, phase, axis=0)
+        gf = jnp.take(self.gf, phase, axis=0)
+        return (c, A, f0, gf)
+
     # -- scenario construction (host) -------------------------------------
     def make_batch(self, starts, goals, obstacle_states=None):
         """Build (x0, p0, state0) batches from per-scenario starts/goals
@@ -183,7 +262,11 @@ class BatchedP2PRunner:
     # -- the jitted rollout -------------------------------------------------
     def init_solver_state(self, x0, p0):
         """Batched cold solve producing the initial warm state."""
-        solve = jax.vmap(lambda x, p: self.solver(x, p, self.lb, self.ub))
+        if self.affine_cA:
+            solve = jax.vmap(lambda x, p: self.solver(
+                x, p, self.lb, self.ub, cA=self._cA_at(0, p)))
+        else:
+            solve = jax.vmap(lambda x, p: self.solver(x, p, self.lb, self.ub))
         return solve(x0, p0)
 
     def rollout_fn(self, n_steps, outer_iter=4):
@@ -216,8 +299,9 @@ class BatchedP2PRunner:
                                feas=jnp.full_like(st.feas, jnp.inf),
                                stat=jnp.full_like(st.stat, jnp.inf),
                                n_iter=jnp.zeros_like(st.n_iter))
+            cA = self._cA_at(phase, p) if self.affine_cA else None
             st = solver(x_warm, p, lb, ub, state0=st_in,
-                        outer_iter=outer_iter)
+                        outer_iter=outer_iter, cA=cA)
             # ideal plant update: state/input from the solved splines at the
             # next sample instant
             cfs = st.x[i_spl].reshape(n_coef, n_spl)
