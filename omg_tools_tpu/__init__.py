@@ -39,4 +39,7 @@ from .problems.point2point import (Point2point, FixedTPoint2point,
 from .problems.admm import ADMMProblem, DistributedProblem
 from .problems.formation import FormationPoint2point
 from .problems.formation_central import FormationPoint2pointCentral
+from .problems.rendezvous import RendezVous
+from .problems.dualdecomposition import (DDProblem,
+    FormationPoint2pointDualDecomposition)
 from .execution.simulator import Simulator, Deployer

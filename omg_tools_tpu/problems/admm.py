@@ -105,36 +105,31 @@ class ADMMProblem(DistributedProblem):
         self.N = self.fleet.N
         self.n_slots = 2 if self.N > 2 else 1
 
-    # -- build -------------------------------------------------------------
-    def init(self):
-        veh0 = self.vehicles[0]
-        for veh in self.vehicles:
-            if type(veh) is not type(veh0):
-                raise NotImplementedError("homogeneous fleets only")
-        self.template = _ADMMLocalP2P(
-            veh0, self.environment.copy(), dict(self.options),
+    # -- subclass hooks (defaults = formation-center consensus) ------------
+    def _make_template(self):
+        tmpl = _ADMMLocalP2P(
+            self.vehicles[0], self.environment.copy(), dict(self.options),
             n_slots=self.n_slots, rho=self.rho)
-        cfg = self.fleet.configuration[veh0]
-        self.template.fleet_config_indices = sorted(cfg.keys())
-        self.template.set_options({"verbose": 0})
-        self.template.init()
-        tmpl = self.template
-        tr = tmpl.transcription
-        self.n_x = tr.n_x
-        self.n_sh = tmpl.n_sh
+        cfg = self.fleet.configuration[self.vehicles[0]]
+        tmpl.fleet_config_indices = sorted(cfg.keys())
+        return tmpl
 
-        # shared-coefficient selector: s = S x + r (r from rel_pos_c).  For
-        # position-spline centers S selects the spline coefficient block and
-        # r adds the (constant) offset to every coefficient.
+    def _shared_selector(self):
+        """Indices of the shared coefficients within the local x."""
+        tmpl, tr = self.template, self.template.transcription
         sl, shape = tr.var_slice(tmpl.vehicles[0], "splines_seg0")
         n_c, n_spl = shape
         idx = np.arange(sl.start, sl.stop).reshape(n_c, n_spl)
         ind = tmpl.fleet_config_indices
-        self.S_idx = np.concatenate([idx[:, k] for k in ind])  # (n_sh,)
+        return np.concatenate([idx[:, k] for k in ind])
 
-        # z-projection onto the interconnection constraints imposed on z:
-        # terminal center-derivative stabilization (formation.py:59-65)
+    def _z_projection(self):
+        """Projection of the z average onto the interconnection equalities
+        imposed on z: terminal center-derivative stabilization
+        (formation.py:59-65)."""
+        tmpl = self.template
         basis = tmpl.center_basis
+        ind = tmpl.fleet_config_indices
         rows = []
         for d in range(1, basis.degree + 1):
             Bd, P = basis.derivative(d)
@@ -143,13 +138,34 @@ class ADMMProblem(DistributedProblem):
         A1 = np.vstack(rows)                       # (deg, n_c)
         A = np.kron(np.eye(len(ind)), A1)          # (deg*dims, n_sh)
         AAt = A @ A.T
-        self.z_proj = np.eye(self.n_sh) - A.T @ np.linalg.solve(AAt, A)
+        return np.eye(self.n_sh) - A.T @ np.linalg.solve(AAt, A)
+
+    def _shared_shift(self):
+        """Knot-passage shift for the shared coefficients."""
+        tmpl = self.template
+        Tc = tmpl.center_basis.shiftoverknot_T()
+        return np.kron(np.eye(len(tmpl.fleet_config_indices)), Tc)
+
+    # -- build -------------------------------------------------------------
+    def init(self):
+        veh0 = self.vehicles[0]
+        for veh in self.vehicles:
+            if type(veh) is not type(veh0):
+                raise NotImplementedError("homogeneous fleets only")
+        self.template = self._make_template()
+        self.template.set_options({"verbose": 0})
+        self.template.init()
+        tmpl = self.template
+        tr = tmpl.transcription
+        self.n_x = tr.n_x
+        self.n_sh = tmpl.n_sh
+        self.S_idx = self._shared_selector()
+        self.z_proj = self._z_projection()
 
         # per-vehicle warm-start shift matrices
         self._x_shift = tr.spline_shift_matrix(
             lambda b: b.shiftoverknot_T())
-        Tc = basis.shiftoverknot_T()
-        self._sh_shift = np.kron(np.eye(len(ind)), Tc)
+        self._sh_shift = self._shared_shift()
 
         # ADMM state
         self.X = np.tile(tr.initial_guess()[None, :], (self.N, 1))
