@@ -307,7 +307,8 @@ class Transcription:
         return p
 
     def spline_shift_matrix(self, transform_fn: Callable[[Basis], np.ndarray],
-                            only_children: Optional[set] = None) -> np.ndarray:
+                            only_children: Optional[set] = None,
+                            block_filter=None) -> np.ndarray:
         """(n_x, n_x) matrix applying a per-basis coefficient transform to
         every primal spline block (the analog of
         OptiFather.transform_primal_splines, optilayer.py:470-490).
@@ -317,6 +318,8 @@ class Transcription:
             if blk.basis is None:
                 continue
             if only_children is not None and blk.child not in only_children:
+                continue
+            if block_filter is not None and not block_filter(blk):
                 continue
             T = transform_fn(blk.basis)          # (n, n)
             n, size = blk.shape

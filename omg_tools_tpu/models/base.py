@@ -409,36 +409,52 @@ class Vehicle(OptiChild):
         raise NotImplementedError
 
 
-def _concat_segments(vehicle, spline_segments, segment_times):
+def _concat_segments(vehicle, spline_segments, segment_times,
+                     continuity=None):
     """Concatenate per-segment splines into one spline over the full horizon
-    via collocation on the union knot vector (reference
-    spline_extra.py:308-404, continuity-detecting variant simplified to the
-    C^(degree-1) case used by multi-frame problems)."""
+    via collocation on a union knot vector (reference
+    spline_extra.py:308-404).  Multi-frame solutions are C^(degree-1)
+    continuous at the joints (connection constraints), so a single knot per
+    joint suffices; the least-squares fallback in solve_collocation absorbs
+    small continuity residuals."""
     degree = vehicle.degree
     n_spl = vehicle.n_spl
+    if continuity is None:
+        continuity = degree - 1
+    mult = degree + 1 - continuity - 1  # knots to insert at each joint
+    mult = max(mult, 1)
     out = []
     for k in range(n_spl):
-        knots, shift = [], 0.0
+        shift = 0.0
         segs = []
+        interior = []
+        joints = []
         for seg, T in zip(spline_segments, segment_times):
             b = vehicle.basis.scale(T, shift)
             segs.append((b, np.asarray(seg)[:, k]))
-            kn = b.knots if not knots else b.knots[degree + 1:]
-            knots = np.r_[knots, kn] if len(knots) else np.array(b.knots)
+            interior.append(b.knots[degree + 1:-(degree + 1)])
             shift += T
-        union = Basis(np.asarray(knots), degree)
-        g = union.greville().copy()
-        g[0] += 1e-9
-        g[-1] -= 1e-9
-        vals = np.zeros(len(g))
-        for b, c in segs:
-            lo, hi = b.domain
-            m = (g >= lo) & (g <= hi)
-            # half-weight points on shared boundaries would double count;
-            # evaluate each point in exactly one segment
-            m &= vals == 0.0
-            if m.any():
-                vals[m] = b.eval(g[m]) @ c
-        coeffs = np.linalg.solve(union.eval(g), vals)
+            joints.append(shift)
+        lo = 0.0
+        knots = [np.full(degree + 1, lo)]
+        for kn, joint in zip(interior, joints):
+            knots.append(kn)
+            if joint < shift:  # interior joint
+                knots.append(np.full(mult, joint))
+        knots.append(np.full(degree + 1, shift))
+        union = Basis(np.concatenate(knots), degree)
+
+        def rhs(g):
+            vals = np.zeros(len(g))
+            done = np.zeros(len(g), dtype=bool)
+            for b, c in segs:
+                blo, bhi = b.domain
+                m = (g >= blo) & (g <= bhi) & ~done
+                if m.any():
+                    vals[m] = b.eval(g[m]) @ c
+                    done |= m
+            return vals
+
+        coeffs = union.solve_collocation(rhs)
         out.append(BSpline(union, coeffs))
     return out
