@@ -99,6 +99,8 @@ def main():
         "feas_p50": float(np.median(feas)),
         "feas_max": float(np.max(feas)),
         "setup_s": round(setup_s, 1),
+        "structure": runner.structure,
+        "affine_cA": bool(runner.affine_cA),
     }))
 
 

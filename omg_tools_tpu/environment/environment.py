@@ -84,6 +84,13 @@ class Environment(OptiChild):
         basis = self._hyperplane_basis(vehicle)
         for idx in range(vehicle.n_seg):
             room = self.room[idx]
+            if room.get("parametric", False):
+                # room borders as parameters: frame shifts reuse the same
+                # compiled problem (designs away the reference's runtime NLP
+                # rebuild at schedulerproblem.py:726)
+                lo = self.define_parameter(f"room_lo_{idx}", self.n_dim)
+                hi = self.define_parameter(f"room_hi_{idx}", self.n_dim)
+                room["lims_param"] = (lo, hi)
             hyp_veh: Dict = {}
             obs_to_add = room.get("obstacles", self.obstacles)
             for k, shape in enumerate(vehicle.shapes):
@@ -253,4 +260,14 @@ class Environment(OptiChild):
         return surfaces, lines
 
     def set_parameters(self, current_time):
-        return {self: {}}
+        parameters = {self: {}}
+        for idx, room in enumerate(self.room):
+            if room.get("parametric", False):
+                lims = room["shape"].get_canvas_limits()
+                lo = [lims[k][0] + room["position"][k]
+                      for k in range(self.n_dim)]
+                hi = [lims[k][1] + room["position"][k]
+                      for k in range(self.n_dim)]
+                parameters[self][f"room_lo_{idx}"] = np.asarray(lo)
+                parameters[self][f"room_hi_{idx}"] = np.asarray(hi)
+        return parameters

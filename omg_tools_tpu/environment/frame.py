@@ -1,0 +1,198 @@
+"""Moving-window frames for vast environments.
+
+Reference: /root/reference/omgtools/environment/frame.py.  A frame is a
+rectangular sub-environment around (part of) the global path; only in-frame
+obstacles enter the local NLP.  Two variants:
+
+- ShiftFrame: fixed-size rectangle shifted toward the movement direction,
+  limited by ``move_limit`` and clipped to the room borders;
+- CorridorFrame: rectangle grown around the path until obstacles block it
+  (axis-aligned sweep), optionally split into two overlapping L-shape
+  frames.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from .shapes import Circle, Rectangle, Square
+from ..utils.geometry import (circle_polyhedron_intersect, point_in_rectangle,
+                              rectangles_overlap)
+
+__all__ = ["Frame", "ShiftFrame", "CorridorFrame"]
+
+
+class Frame:
+    """Axis-aligned rectangular window [xmin, ymin, xmax, ymax]."""
+
+    def __init__(self, environment, border, global_path=None, options=None):
+        self.environment = environment
+        self.border = list(map(float, border))   # xmin, ymin, xmax, ymax
+        self.global_path = global_path
+        self.options = options or {}
+        self.stationary_obstacles: List = []
+        self.moving_obstacles: List = []
+
+    @property
+    def center(self):
+        b = self.border
+        return np.array([0.5 * (b[0] + b[2]), 0.5 * (b[1] + b[3])])
+
+    @property
+    def width(self):
+        return self.border[2] - self.border[0]
+
+    @property
+    def height(self):
+        return self.border[3] - self.border[1]
+
+    def shape(self):
+        return Rectangle(width=self.width, height=self.height)
+
+    def room(self):
+        return {"shape": self.shape(), "position": list(self.center),
+                "draw": True}
+
+    def point_in_frame(self, point, margin=0.0, border=None):
+        b = border if border is not None else self.border
+        return (b[0] - margin <= point[0] <= b[2] + margin and
+                b[1] - margin <= point[1] <= b[3] + margin)
+
+    def obstacle_in_frame(self, obstacle, horizon_time=None,
+                          sample_time=0.5):
+        """Stationary obstacles: geometric overlap.  Moving obstacles: check
+        the predicted positions over the horizon (reference
+        frame.py:118-166)."""
+        pos = obstacle.signals["position"][:2, -1]
+        vel = obstacle.signals["velocity"][:2, -1]
+        moving = bool(np.any(np.abs(vel) > 1e-9))
+        positions = [pos]
+        if moving and horizon_time is not None:
+            acc = obstacle.signals["acceleration"][:2, -1]
+            ts = np.arange(0.0, horizon_time + 1e-9, sample_time)
+            positions = [pos + vel * t + 0.5 * acc * t * t for t in ts]
+        for p in positions:
+            if self._shape_overlaps(obstacle.shape, p):
+                return True, moving
+        return False, moving
+
+    def _shape_overlaps(self, shape, pos):
+        b = self.border
+        if isinstance(shape, Circle):
+            cx = np.clip(pos[0], b[0], b[2])
+            cy = np.clip(pos[1], b[1], b[3])
+            return np.hypot(pos[0] - cx, pos[1] - cy) <= shape.radius
+        if isinstance(shape, (Rectangle, Square)):
+            return rectangles_overlap(pos, shape.width, shape.height,
+                                      self.center, self.width, self.height)
+        chck, rad = shape.get_checkpoints()
+        verts = (np.asarray(chck) + np.asarray(pos)[:2]).T
+        frame_verts = np.array(
+            [[b[0], b[2], b[2], b[0]], [b[1], b[1], b[3], b[3]]])
+        for v in verts.T:
+            if self.point_in_frame(v, margin=float(np.max(rad))):
+                return True
+        return False
+
+    def fill_obstacles(self, horizon_time=None):
+        self.stationary_obstacles, self.moving_obstacles = [], []
+        for obstacle in self.environment.obstacles:
+            if not obstacle.options.get("avoid", True):
+                continue
+            inside, moving = self.obstacle_in_frame(obstacle, horizon_time)
+            if inside:
+                (self.moving_obstacles if moving
+                 else self.stationary_obstacles).append(obstacle)
+
+    def waypoints_in_frame(self, path):
+        return [p for p in path if self.point_in_frame(p)]
+
+
+class ShiftFrame(Frame):
+    """Fixed-size frame centered near the vehicle, shifted toward the next
+    goal direction, clipped to the room (reference frame.py:366-518)."""
+
+    def __init__(self, environment, start, goal, frame_size, move_limit=0.5,
+                 global_path=None, options=None):
+        room = environment.room[0]
+        lims = room["shape"].get_canvas_limits()
+        xlim = lims[0] + room["position"][0]
+        ylim = lims[1] + room["position"][1]
+        w = h = float(frame_size)
+        start = np.asarray(start, dtype=np.float64)
+        goal = np.asarray(goal, dtype=np.float64)
+        direction = goal - start
+        nrm = np.linalg.norm(direction)
+        if nrm > 1e-9:
+            direction = direction / nrm
+        shift = min(move_limit, 0.375 * w) * direction
+        center = start + shift
+        cx = np.clip(center[0], xlim[0] + w / 2, xlim[1] - w / 2)
+        cy = np.clip(center[1], ylim[0] + h / 2, ylim[1] - h / 2)
+        border = [cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2]
+        Frame.__init__(self, environment, border, global_path, options)
+        self.start = start
+        self.goal = self._endpoint(goal)
+
+    def _endpoint(self, goal):
+        """Local goal: the global goal if inside the frame, else the last
+        global-path waypoint inside the frame (or the border projection)."""
+        if self.point_in_frame(goal):
+            return np.asarray(goal, dtype=np.float64)
+        if self.global_path is not None:
+            inside = self.waypoints_in_frame(self.global_path)
+            if inside:
+                return np.asarray(inside[-1], dtype=np.float64)
+        b = self.border
+        return np.array([np.clip(goal[0], b[0], b[2]),
+                         np.clip(goal[1], b[1], b[3])])
+
+
+class CorridorFrame(Frame):
+    """Rectangle grown around the path start until an obstacle or the room
+    border blocks further growth (reference frame.py:520-918, simplified:
+    uniform axis growth, optional L-shape split)."""
+
+    def __init__(self, environment, start, goal, global_path=None,
+                 margin=0.2, step=0.1, options=None):
+        room = environment.room[0]
+        lims = room["shape"].get_canvas_limits()
+        xlim = lims[0] + room["position"][0]
+        ylim = lims[1] + room["position"][1]
+        start = np.asarray(start, dtype=np.float64)
+        border = [start[0] - margin, start[1] - margin,
+                  start[0] + margin, start[1] + margin]
+        obstacles = [o for o in environment.obstacles
+                     if o.options.get("avoid", True)]
+        grow = [True, True, True, True]   # xmin, ymin, xmax, ymax
+        for _ in range(int(max(xlim[1] - xlim[0], ylim[1] - ylim[0]) / step)
+                       * 4):
+            if not any(grow):
+                break
+            for k in range(4):
+                if not grow[k]:
+                    continue
+                cand = list(border)
+                cand[k] += step if k >= 2 else -step
+                limit = [xlim[0], ylim[0], xlim[1], ylim[1]][k]
+                if (k < 2 and cand[k] < limit) or (k >= 2 and cand[k] > limit):
+                    grow[k] = False
+                    continue
+                blocked = False
+                for obs in obstacles:
+                    pos = obs.signals["position"][:2, -1]
+                    probe = Frame(environment, cand)
+                    if probe._shape_overlaps(obs.shape, pos):
+                        blocked = True
+                        break
+                if blocked:
+                    grow[k] = False
+                else:
+                    border = cand
+        Frame.__init__(self, environment, border, global_path, options)
+        self.start = start
+        goal = np.asarray(goal, dtype=np.float64)
+        self.goal = goal if self.point_in_frame(goal) else \
+            ShiftFrame._endpoint(self, goal)

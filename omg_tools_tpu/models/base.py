@@ -130,6 +130,19 @@ class Vehicle(OptiChild):
     def _define_room_constraints_2d(self, room, position, checkpoints, rad,
                                     tg_ha, offset):
         from ..environment.shapes import Rectangle, Square, Circle
+        if "lims_param" in room:
+            # traced room borders (frame reuse path); axis-aligned only
+            lo, hi = room["lims_param"]
+            room_lims = [[lo[k], hi[k]] for k in range(self.n_dim)]
+            for l, chck in enumerate(checkpoints):
+                for k in range(self.n_dim):
+                    self.define_constraint(
+                        -(chck[k] + position[k]) + room_lims[k][0] + rad[0],
+                        -BIG, 0.0)
+                    self.define_constraint(
+                        (chck[k] + position[k]) - room_lims[k][1] + rad[0],
+                        -BIG, 0.0)
+            return
         lims = room["shape"].get_canvas_limits()
         room_lims = [[float(v) for v in lims[k] + room["position"][k]]
                      for k in range(self.n_dim)]
