@@ -72,8 +72,10 @@ class Vehicle(OptiChild):
         else:
             try:
                 init = self.get_init_spline_value()
-            except AttributeError:
+            except (AttributeError, TypeError):
                 init = [None] * n_seg
+        if len(init) < n_seg:
+            init = list(init) + [init[-1]] * (n_seg - len(init))
         self.splines = [
             self.define_spline_variable(f"splines_seg{k}", self.n_spl,
                                         value=init[k])
