@@ -21,6 +21,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# make the CPU backend available for one-time precomputation (structure
+# detection / affine tensor builds) -- TPU remote compiles are slow
+from omg_tools_tpu.utils.devices import enable_host_backend  # noqa: E402
+enable_host_backend()
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "256"))

@@ -40,9 +40,12 @@ class BatchedP2PRunner:
         # values/Jacobians become large batched einsums (AD once per solve)
         from ..ops.alm import (make_alm_solver, ALMOptions,
                                detect_quadratic_structure)
-        p_ref = jnp.asarray(problem.pack_parameters(0.0))
-        Q = detect_quadratic_structure(tr.constraints, tr.n_x, p_ref,
-                                       f=tr.objective)
+        from ..utils.devices import on_host
+        with on_host():
+            with jax.default_matmul_precision("highest"):
+                p_ref = jnp.asarray(problem.pack_parameters(0.0))
+                Q = detect_quadratic_structure(tr.constraints, tr.n_x, p_ref,
+                                               f=tr.objective)
         self.solver = make_alm_solver(
             tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
             ALMOptions(), row_scale=problem._row_scale,
@@ -104,8 +107,10 @@ class BatchedP2PRunner:
         self._build_affine_cA()
 
     def _build_affine_cA(self):
-        with jax.default_matmul_precision("highest"):
-            self._build_affine_cA_impl()
+        from ..utils.devices import on_host
+        with on_host():
+            with jax.default_matmul_precision("highest"):
+                self._build_affine_cA_impl()
 
     def _build_affine_cA_impl(self):
         tr = self.tr

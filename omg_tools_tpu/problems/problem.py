@@ -67,11 +67,14 @@ class Problem(OptiChild):
         f = tr.objective
         g = tr.constraints
         # Ipopt-style gradient-based row scaling at the initial guess
-        x_ref = jnp.asarray(tr.initial_guess())
-        p_ref = jnp.asarray(self.pack_parameters(0.0))
+        # (runs on the CPU backend when available: one-time AD)
         from ..ops.solver import gradient_row_scales
-        row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
-        grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
+        from ..utils.devices import on_host
+        with on_host():
+            x_ref = jnp.asarray(tr.initial_guess())
+            p_ref = jnp.asarray(self.pack_parameters(0.0))
+            row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
+            grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
         obj_scale = 1.0 / max(1.0, np.max(np.abs(grad0)) / 100.0)
         self._row_scale = row_scale
         self._obj_scale = obj_scale
