@@ -297,18 +297,27 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
     def _solve(x0, p, lb, ub, state0, outer_iter, cA=None):
         lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
-        dtype = jnp.asarray(x0).dtype
+        x0 = jnp.asarray(x0)
+        dtype = x0.dtype
+        # tie scalar carries to x0 so device-varying inputs stay varying
+        # under shard_map (zero0 == 0, but carries x0's sharding context)
+        zero0 = x0[..., 0] * 0
         if state0 is None:
-            state = ALMState(x=jnp.asarray(x0), lam=jnp.zeros(m, dtype=dtype),
-                             rho=jnp.asarray(opt.rho_init, dtype=dtype),
-                             feas=jnp.asarray(jnp.inf, dtype=dtype),
-                             stat=jnp.asarray(jnp.inf, dtype=dtype),
-                             n_iter=jnp.asarray(0))
+            state = ALMState(x=x0,
+                             lam=jnp.zeros(m, dtype=dtype) + zero0,
+                             rho=jnp.asarray(opt.rho_init, dtype=dtype)
+                             + zero0,
+                             feas=jnp.asarray(jnp.inf, dtype=dtype) + zero0,
+                             stat=jnp.asarray(jnp.inf, dtype=dtype) + zero0,
+                             n_iter=jnp.asarray(0) + zero0.astype(jnp.int32))
         else:
-            state = state0._replace(x=jnp.asarray(x0),
-                                    feas=jnp.full_like(state0.feas, jnp.inf),
-                                    stat=jnp.full_like(state0.stat, jnp.inf),
-                                    n_iter=jnp.zeros_like(state0.n_iter))
+            state = state0._replace(x=x0,
+                                    feas=jnp.full_like(state0.feas, jnp.inf)
+                                    + zero0,
+                                    stat=jnp.full_like(state0.stat, jnp.inf)
+                                    + zero0,
+                                    n_iter=jnp.zeros_like(state0.n_iter)
+                                    + zero0.astype(state0.n_iter.dtype))
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
         evals = make_evals(jnp.asarray(p), dtype, cA=cA)
@@ -321,7 +330,8 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
             x_n, stat = jax.lax.fori_loop(
                 0, opt.inner_iter, inner_body,
-                (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)))
+                (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)
+                 + st.x[..., 0] * 0))
             gv = evals["g"](x_n)
             y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
             feas_n = violation(gv, lb, ub)
