@@ -142,10 +142,28 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
     jac_g = jax.jacfwd(g)
 
     Qs_np = None
+    _Qs_cache = {}
     if quadratic_Q is not None:
         Qs_np = np.asarray(quadratic_Q, dtype=np.float64)
         if row_scale is not None:
             Qs_np = Qs_np * d_np[:, None, None]
+
+    def _Qs(dtype):
+        """Device-resident Q (hoisted jit argument, NOT an inlined HLO
+        constant -- inlining ~100MB literals breaks remote compilation)."""
+        if dtype not in _Qs_cache:
+            _Qs_cache[dtype] = jnp.asarray(Qs_np, dtype=dtype)
+        return _Qs_cache[dtype]
+
+    if Qs_np is not None:
+        # materialize eagerly (outside any trace) so the tensor is a device
+        # buffer, never a traced literal
+        _Qs(jnp.dtype(jnp.float32))
+        try:
+            if jax.config.jax_enable_x64:
+                _Qs(jnp.dtype(jnp.float64))
+        except Exception:
+            pass
 
     def lagrangian(x, p, lam):
         return f(x, p) + g(x, p) @ lam
@@ -188,7 +206,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                 A = jac_g(zero, p)
                 f0 = f(zero, p)
                 gf = grad_f(zero, p)   # objective is linear in x
-            Qs = jnp.asarray(Qs_np, dtype=dtype)
+            Qs = _Qs(dtype)
 
             def J_eval(x):
                 return A + 2.0 * jnp.einsum("kij,j->ki", Qs, x)
@@ -242,8 +260,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             dx = -jax.scipy.linalg.cho_solve(cho, grad)
         else:
             if Qs_np is not None:
-                W = 2.0 * jnp.einsum("kij,k->ij",
-                                     jnp.asarray(Qs_np, dtype=x.dtype), y_hat)
+                W = 2.0 * jnp.einsum("kij,k->ij", _Qs(x.dtype), y_hat)
             else:
                 W = hess_L(x, p, y_hat)
             H = W + Hpen
