@@ -30,6 +30,8 @@ from .models.holonomicorient import HolonomicOrient
 from .models.dubins import Dubins
 from .models.quadrotor import Quadrotor
 from .models.bicycle import Bicycle
+from .models.agv import AGV
+from .models.quadrotor3d import Quadrotor3D, SimpleQuadrotor3D
 from .models.trailer import Trailer
 from .models.tool import Tool
 from .models.fleet import Fleet, get_fleet_vehicles
