@@ -45,3 +45,4 @@ from .problems.rendezvous import RendezVous
 from .problems.dualdecomposition import (DDProblem,
     FormationPoint2pointDualDecomposition)
 from .execution.simulator import Simulator, Deployer
+from .execution.plotlayer import PlotLayer

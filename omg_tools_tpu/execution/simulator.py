@@ -12,6 +12,8 @@ import time as _time
 
 import numpy as np
 
+from .plotlayer import PlotLayer
+
 __all__ = ["Simulator", "Deployer"]
 
 
@@ -55,6 +57,9 @@ class Simulator:
         self.update_time = update_time
         self.current_time = 0.0
         self.deployer = Deployer(problem, sample_time, update_time)
+        # class-level back-pointer used by plot time indexing
+        # (reference simulator.py:32)
+        PlotLayer.simulator = self
 
     def set_problem(self, problem):
         self.problem = problem

@@ -19,11 +19,12 @@ import numpy as np
 from ..modeling.opti import OptiChild, BIG
 from ..ops.basis import Basis, clamped_knots
 from ..ops.spline import BSpline, definite_integral, sample_spline
+from ..execution.plotlayer import PlotLayer, mix_with_white
 
 __all__ = ["Vehicle"]
 
 
-class Vehicle(OptiChild):
+class Vehicle(OptiChild, PlotLayer):
 
     def __init__(self, n_spl, degree, shapes, options=None):
         OptiChild.__init__(self, "vehicle")
@@ -38,6 +39,10 @@ class Vehicle(OptiChild):
         self.init_spline_values = None
         self.trajectories: Dict[str, np.ndarray] = {}
         self.signals: Dict[str, np.ndarray] = {}
+        # per-update trajectory history for movie replay
+        # (reference vehicle.py:250-300 'traj_storage')
+        self.traj_storage: List[Dict[str, np.ndarray]] = []
+        self.traj_times: List[float] = []
         self.set_default_options()
         self.set_options(options or {})
         self.define_knots(knot_intervals=10)
@@ -260,6 +265,9 @@ class Vehicle(OptiChild):
         for key, val in list(self.trajectories.items()):
             if val.ndim == 1:
                 self.trajectories[key] = val[None, :]
+        self.traj_storage.append({k: v.copy()
+                                  for k, v in self.trajectories.items()})
+        self.traj_times.append(float(current_time))
 
     def predict(self, current_time, predict_time, sample_time, state0=None,
                 input0=None, dinput0=None, delay=0, enforce_states=False,
@@ -394,6 +402,78 @@ class Vehicle(OptiChild):
             surf += s
             lines += l
         return surf, lines
+
+    # -- plot providers (reference vehicle.py:470-525) ----------------------
+    def _traj_at(self, t):
+        """Latest stored trajectory active at sample index ``t``."""
+        if not self.traj_storage:
+            return None
+        if t in (-1, None) or "time" not in self.signals:
+            return self.traj_storage[-1]
+        tm = float(self.signals["time"][0, t]
+                   if self.signals["time"].ndim > 1
+                   else self.signals["time"][t])
+        idx = int(np.searchsorted(np.asarray(self.traj_times), tm + 1e-9)) - 1
+        return self.traj_storage[max(idx, 0)]
+
+    def init_plot(self, argument, **kwargs):
+        source = self.signals or self.trajectories
+        if argument not in source:
+            return None
+        n_rows = np.atleast_2d(source[argument]).shape[0]
+        labels = kwargs.get(
+            "labels", [f"{argument}[{k}]" for k in range(n_rows)])
+        color = kwargs.get("color", "tab:blue")
+        info = []
+        for k in range(n_rows):
+            lines = [{"color": color},
+                     {"color": mix_with_white(color, 60.0),
+                      "linestyle": "--"}]
+            if kwargs.get("knots"):
+                lines.append({"color": color, "linestyle": "none",
+                              "marker": "x"})
+            if kwargs.get("prediction"):
+                lines.append({"color": color, "linestyle": "none",
+                              "marker": "o"})
+            info.append([{"labels": ["t (s)", labels[k]], "lines": lines}])
+        return info
+
+    def update_plot(self, argument, t, **kwargs):
+        source = self.signals or self.trajectories
+        if argument not in source:
+            return None
+        sig = np.atleast_2d(source[argument])
+        time = np.atleast_2d(source.get("time", np.arange(sig.shape[1])))[0]
+        end = sig.shape[1] if t in (-1, None) else t + 1
+        traj = self._traj_at(t)
+        data = []
+        for k in range(sig.shape[0]):
+            lines = [np.vstack([time[:end], sig[k, :end]])]
+            if traj is not None and argument in traj:
+                tr = np.atleast_2d(traj[argument])
+                tr_t = np.atleast_2d(traj["time"])[0]
+                lines.append(np.vstack([tr_t, tr[k]]))
+            else:
+                lines.append(np.zeros((2, 0)))
+            if kwargs.get("knots"):
+                lines.append(self._knot_points(argument, traj, k))
+            if kwargs.get("prediction") and traj is not None:
+                tr = np.atleast_2d(traj[argument])
+                tr_t = np.atleast_2d(traj["time"])[0]
+                lines.append(np.array([[tr_t[0]], [tr[k, 0]]]))
+            data.append([lines])
+        return data
+
+    def _knot_points(self, argument, traj, k):
+        if traj is None or argument not in traj:
+            return np.zeros((2, 0))
+        tr_t = np.atleast_2d(traj["time"])[0]
+        horizon = tr_t[-1] - tr_t[0]
+        interior = np.unique(self.knots)[1:-1]
+        knot_times = tr_t[0] + interior * horizon
+        tr = np.atleast_2d(traj[argument])
+        vals = np.interp(knot_times, tr_t, tr[k])
+        return np.vstack([knot_times, vals])
 
     # -- hooks required from concrete vehicles -----------------------------
     def init(self):

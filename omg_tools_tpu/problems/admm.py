@@ -284,6 +284,28 @@ class ADMMProblem(DistributedProblem):
         self.residuals.append((pri_res, dual_res))
         return pri_res, dual_res
 
+    # -- residual plot provider (reference admm.py:634-670) -----------------
+    def init_plot(self, argument, **kwargs):
+        if argument != "residuals":
+            return super().init_plot(argument, **kwargs)
+        return [[{"labels": ["iteration", "log10(primal res)"],
+                  "lines": [{"color": "tab:blue"}]}],
+                [{"labels": ["iteration", "log10(dual res)"],
+                  "lines": [{"color": "tab:orange"}]}]]
+
+    def update_plot(self, argument, t, **kwargs):
+        if argument != "residuals":
+            return super().update_plot(argument, t, **kwargs)
+        res = np.asarray(self.residuals, dtype=np.float64)
+        if res.size == 0:
+            empty = np.zeros((2, 0))
+            return [[[empty]], [[empty]]]
+        it = np.arange(res.shape[0])
+        with np.errstate(divide="ignore"):
+            logres = np.log10(np.maximum(res, 1e-300))
+        return [[[np.vstack([it, logres[:, 0]])]],
+                [[np.vstack([it, logres[:, 1]])]]]
+
     # -- lifecycle (Problem API) -------------------------------------------
     def initialize(self, current_time):
         self.start_time = current_time

@@ -24,11 +24,12 @@ import numpy as np
 from ..modeling.opti import OptiChild, OptiFather, BIG
 from ..models.fleet import get_fleet_vehicles
 from ..ops.solver import make_ip_solver, IPOptions
+from ..execution.plotlayer import PlotLayer, mix_with_white
 
 __all__ = ["Problem"]
 
 
-class Problem(OptiChild):
+class Problem(OptiChild, PlotLayer):
 
     def __init__(self, fleet, environment, options=None, label="problem"):
         OptiChild.__init__(self, label)
@@ -265,6 +266,72 @@ class Problem(OptiChild):
             vehicle.store(current_time, sample_time, [coeffs], sleep_time)
             vehicle.simulate(sleep_time, sample_time)
         self.environment.simulate(sleep_time, sample_time)
+
+    # -- 'scene' plot provider (reference problem.py:213-255) ---------------
+    def _scene_counts(self):
+        env_s, env_l = self.environment.draw(t=-1)
+        veh = []
+        for vehicle in self.vehicles:
+            s = sum(len(shape.draw()[0]) for shape in vehicle.shapes)
+            l = sum(len(shape.draw()[1]) for shape in vehicle.shapes)
+            veh.append((s, l))
+        return len(env_s), len(env_l), veh
+
+    def init_plot(self, argument, **kwargs):
+        if argument != "scene":
+            return None
+        n_env_s, n_env_l, veh = self._scene_counts()
+        n_dim = self.environment.n_dim
+        lines = [{"color": "0.25"} for _ in range(n_env_s + n_env_l)]
+        colors = ["tab:blue", "tab:orange", "tab:green", "tab:red",
+                  "tab:purple", "tab:brown", "tab:pink", "tab:olive"]
+        for k, (n_s, n_l) in enumerate(veh):
+            color = colors[k % len(colors)]
+            lines.append({"color": color})                      # past path
+            lines.append({"color": mix_with_white(color, 60.0),
+                          "linestyle": "--"})                   # predicted
+            lines += [{"color": color} for _ in range(n_s + n_l)]  # shape
+        ax_info = {"labels": [f"x{k}" for k in range(n_dim)],
+                   "lines": lines, "aspect_equal": True}
+        if n_dim == 3:
+            ax_info["projection"] = "3d"
+        room = self.environment.room[0]
+        try:
+            lims = room["shape"].get_canvas_limits()
+            ax_info["xlim"] = (lims[0][0] + room["position"][0] - 0.2,
+                               lims[0][1] + room["position"][0] + 0.2)
+            ax_info["ylim"] = (lims[1][0] + room["position"][1] - 0.2,
+                               lims[1][1] + room["position"][1] + 0.2)
+        except Exception:
+            pass
+        return [[ax_info]]
+
+    def update_plot(self, argument, t, **kwargs):
+        if argument != "scene":
+            return None
+        env_s, env_l = self.environment.draw(t)
+        lines = [np.asarray(a, dtype=np.float64) for a in env_s + env_l]
+        for vehicle in self.vehicles:
+            pose = np.atleast_2d(vehicle.signals.get(
+                "pose", np.zeros((vehicle.n_dim, 1))))
+            end = pose.shape[1] if t in (-1, None) else t + 1
+            lines.append(pose[:vehicle.n_dim, :end])
+            traj = vehicle._traj_at(t)
+            if traj is not None and "pose" in traj:
+                lines.append(np.atleast_2d(traj["pose"])[:vehicle.n_dim])
+            else:
+                lines.append(np.zeros((vehicle.n_dim, 0)))
+            if "pose" in vehicle.signals:
+                s, l = vehicle.draw(min(t, pose.shape[1] - 1)
+                                    if t not in (-1, None) else -1)
+            else:
+                s, l = [], []
+                for shape in vehicle.shapes:
+                    ss, ll = shape.draw()
+                    s += ss
+                    l += ll
+            lines += [np.asarray(a, dtype=np.float64) for a in s + l]
+        return [[lines]]
 
     def compute_objective(self):
         raise NotImplementedError
