@@ -44,5 +44,18 @@ from .problems.formation_central import FormationPoint2pointCentral
 from .problems.rendezvous import RendezVous
 from .problems.dualdecomposition import (DDProblem,
     FormationPoint2pointDualDecomposition)
+from .problems.multiframeproblem import MultiFrameProblem
+from .problems.schedulerproblem import SchedulerProblem
+from .problems.gcodeproblem import GCodeProblem, GCodeSchedulerProblem
+from .problems.globalplanner import AStarPlanner, Grid
+from .environment.frame import Frame, ShiftFrame, CorridorFrame
 from .execution.simulator import Simulator, Deployer
 from .execution.plotlayer import PlotLayer
+from .export.export_p2p import ExportP2P
+from .export.export_formation import ExportFormation
+from .export.export_rendezvous import ExportRendezVous
+from .gui.gcode_reader import GCodeReader
+from .gui.gcode_block import GCodeBlock
+from .gui.svg_reader import SVGReader
+from .gui.gui import EnvironmentGUI
+from .ops.spline import Nurbs, TensorBSpline, circle_arc_splines

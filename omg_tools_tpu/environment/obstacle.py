@@ -20,7 +20,7 @@ import numpy as np
 
 from ..modeling.opti import OptiChild, BIG
 from ..ops.basis import Basis
-from ..ops.spline import BSpline
+from ..ops.spline import BSpline, circle_arc_splines
 import jax.numpy as jnp
 
 __all__ = ["Obstacle"]
@@ -37,6 +37,7 @@ class Obstacle(OptiChild):
         self.set_default_options()
         self.set_options(options or {})
         self.basis = Basis(np.array([0.0, 0, 0, 1, 1, 1]), 2)
+        self.cos, self.sin, self.gon_weight = None, None, 1.0
         self.prepare_simulation(initial, self.simulation)
 
     # -- options -----------------------------------------------------------
@@ -46,6 +47,9 @@ class Obstacle(OptiChild):
             "spline_traj": False,
             "spline_params": {"knots": [0, 0, 0, 1, 1, 1], "degree": 2,
                               "coeffs": None},
+            # required when the obstacle rotates (NURBS trig arcs need the
+            # horizon length; reference obstacle.py:286-310)
+            "horizon_time": None,
         }
 
     def set_options(self, options):
@@ -88,6 +92,33 @@ class Obstacle(OptiChild):
         self.checkpoints_par = self.define_parameter(
             "checkpoints", (len(checkpoints), self.n_dim))
         self.rad_par = self.define_parameter("rad", len(checkpoints))
+        self._init_rotation(horizon_times)
+
+    def _init_rotation(self, horizon_times):
+        """Rotating 2D obstacles: cos/sin of the yaw over the horizon as
+        quadratic-NURBS circle arcs; constraints are multiplied through by
+        the arc weight spline to stay polynomial (reference
+        obstacle.py:292-343)."""
+        omega = float(self.signals["angular_velocity"][0, -1])
+        if omega == 0.0 or self.n_dim != 2:
+            self.cos, self.sin, self.gon_weight = None, None, 1.0
+            return
+        T = self.options.get("horizon_time")
+        if T is None:
+            if isinstance(horizon_times, list) and horizon_times and \
+                    isinstance(horizon_times[0], (int, float)):
+                T = float(horizon_times[0])
+            else:
+                raise ValueError("rotating obstacles need a numeric "
+                                 "'horizon_time' option")
+        theta = self.define_parameter("theta", 1)
+        t = self.problem_t
+        theta0 = theta[0] - t * omega
+        cos_w, sin_w, weight = circle_arc_splines(abs(omega) * T)
+        sin_w = sin_w * float(np.sign(omega))
+        self.cos = cos_w * jnp.cos(theta0) - sin_w * jnp.sin(theta0)
+        self.sin = cos_w * jnp.sin(theta0) + sin_w * jnp.cos(theta0)
+        self.gon_weight = weight
 
     def define_collision_constraints(self, hyperplanes):
         """Obstacle side of the separating hyperplane: each inflated
@@ -97,10 +128,24 @@ class Obstacle(OptiChild):
         for hyp in hyperplanes:
             a, b = hyp["a"], hyp["b"]
             for l in range(n_chck):
-                pos = [self.pos_spline[k] + self.checkpoints_par[l, k]
-                       for k in range(self.n_dim)]
-                con = -sum(a[k] * pos[k] for k in range(self.n_dim)) \
-                    + b + self.rad_par[l]
+                if self.cos is None:
+                    pos = [self.pos_spline[k] + self.checkpoints_par[l, k]
+                           for k in range(self.n_dim)]
+                    con = -sum(a[k] * pos[k] for k in range(self.n_dim)) \
+                        + b + self.rad_par[l]
+                else:
+                    # rotating: rotate the checkpoint by the NURBS trig
+                    # splines and clear the rational weight (reference
+                    # obstacle.py:334-343)
+                    w = self.gon_weight
+                    cx, cy = self.checkpoints_par[l, 0], \
+                        self.checkpoints_par[l, 1]
+                    xpos = self.pos_spline[0] * w \
+                        + cx * self.cos - cy * self.sin
+                    ypos = self.pos_spline[1] * w \
+                        + cx * self.sin + cy * self.cos
+                    con = -(a[0] * xpos + a[1] * ypos) \
+                        + w * (b + self.rad_par[l])
                 self.define_constraint(con, -BIG, 0.0)
 
     def set_parameters(self, current_time):
@@ -115,6 +160,8 @@ class Obstacle(OptiChild):
         checkpoints, rad = self.shape.get_checkpoints()
         parameters[self]["checkpoints"] = np.asarray(checkpoints)
         parameters[self]["rad"] = np.asarray(rad)
+        if self.cos is not None:
+            parameters[self]["theta"] = self.signals["orientation"][:, -1]
         return parameters
 
     # -- simulation --------------------------------------------------------
@@ -124,6 +171,10 @@ class Obstacle(OptiChild):
             val = initial.get(key, np.zeros(self.n_dim))
             self.signals[key] = np.asarray(val, dtype=np.float64).reshape(
                 self.n_dim, 1).copy()
+        for key in ("orientation", "angular_velocity"):
+            val = initial.get(key, 0.0)
+            self.signals[key] = np.atleast_1d(
+                np.asarray(val, dtype=np.float64)).reshape(-1, 1).copy()
         # user-scripted piecewise state increments: at the given times, the
         # corresponding quantity jumps by the given value
         self.increments = []
@@ -180,6 +231,15 @@ class Obstacle(OptiChild):
                                              np.array(V).T]
             self.signals["acceleration"] = np.c_[self.signals["acceleration"],
                                                  np.array(A).T]
+            omega = self.signals["angular_velocity"][:, -1]
+            theta0 = self.signals["orientation"][:, -1]
+            steps = np.arange(1, n_samp + 1) * sample_time
+            self.signals["orientation"] = np.c_[
+                self.signals["orientation"], theta0[:, None] + omega[:, None]
+                * steps[None, :]]
+            self.signals["angular_velocity"] = np.c_[
+                self.signals["angular_velocity"],
+                np.tile(omega[:, None], (1, n_samp))]
 
     # -- predicates for bouncing ------------------------------------------
     def overlaps_with(self, other) -> bool:
@@ -218,4 +278,6 @@ class Obstacle(OptiChild):
             return [], []
         pose = np.zeros(2 * self.n_dim)
         pose[:self.n_dim] = self.signals["position"][:, t]
+        if self.n_dim == 2:
+            pose[2] = self.signals["orientation"][0, t]
         return self.shape.draw(pose)

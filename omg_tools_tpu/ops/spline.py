@@ -167,6 +167,150 @@ class BSpline:
         return BSpline(sub, jnp.einsum("qi,...i->...q", Tj, self.coeffs))
 
 
+class Nurbs:
+    """Rational spline: numerator/denominator coefficient pairs on one basis
+    (reference spline.py:509-564).  Produced by BSpline division; evaluation
+    and sampling divide pointwise; products keep rational form."""
+
+    def __init__(self, basis, coeffs, weights):
+        self.basis = basis
+        self.coeffs = jnp.asarray(coeffs)
+        self.weights = jnp.asarray(weights)
+
+    def numerator(self) -> BSpline:
+        return BSpline(self.basis, self.coeffs * self.weights)
+
+    def denominator(self) -> BSpline:
+        return BSpline(self.basis, self.weights)
+
+    def __call__(self, x):
+        return self.numerator()(x) / self.denominator()(x)
+
+    def __mul__(self, other):
+        if isinstance(other, Nurbs):
+            num = self.numerator() * other.numerator()
+            den = self.denominator() * other.denominator()
+            return Nurbs(num.basis, num.coeffs / den.coeffs, den.coeffs)
+        if isinstance(other, BSpline):
+            num = self.numerator() * other
+            den = self.denominator() * BSpline(
+                other.basis, jnp.ones(len(other.basis),
+                                      dtype=self.coeffs.dtype))
+            return Nurbs(num.basis, num.coeffs / den.coeffs, den.coeffs)
+        return Nurbs(self.basis, self.coeffs * other, self.weights)
+
+    __rmul__ = __mul__
+
+
+def spline_div(num: BSpline, den: BSpline) -> Nurbs:
+    """BSpline division -> NURBS (reference spline.py:458-462)."""
+    basis = num.basis + den.basis
+    Tn = jnp.asarray(basis.transform(num.basis), dtype=num.coeffs.dtype)
+    Td = jnp.asarray(basis.transform(den.basis), dtype=den.coeffs.dtype)
+    n = jnp.einsum("qi,...i->...q", Tn, num.coeffs)
+    w = jnp.einsum("qi,...i->...q", Td, den.coeffs)
+    return Nurbs(basis, n / w, w)
+
+
+BSpline.__truediv__ = lambda self, other: (
+    spline_div(self, other) if isinstance(other, BSpline)
+    else BSpline(self.basis, self.coeffs / other))
+
+
+class TensorBSpline:
+    """2-D tensor-product spline (reference spline.py:567-680): coefficient
+    grid ``(len(basis_u), len(basis_v))``, evaluated as two small matmuls."""
+
+    def __init__(self, bases, coeffs):
+        self.basis = list(bases)
+        if len(self.basis) != 2:
+            raise ValueError("TensorBSpline supports 2 dimensions")
+        self.coeffs = jnp.asarray(coeffs)
+
+    def __call__(self, u, v):
+        Eu = jnp.asarray(self.basis[0].eval(np.atleast_1d(u)),
+                         dtype=self.coeffs.dtype)
+        Ev = jnp.asarray(self.basis[1].eval(np.atleast_1d(v)),
+                         dtype=self.coeffs.dtype)
+        out = jnp.einsum("ui,vj,...ij->...uv", Eu, Ev, self.coeffs)
+        if np.ndim(u) == 0 and np.ndim(v) == 0:
+            return out[..., 0, 0]
+        return out
+
+    def __add__(self, other):
+        if isinstance(other, TensorBSpline):
+            if other.basis[0] is self.basis[0] \
+                    and other.basis[1] is self.basis[1]:
+                return TensorBSpline(self.basis, self.coeffs + other.coeffs)
+            bu = self.basis[0] + other.basis[0]
+            bv = self.basis[1] + other.basis[1]
+            out = jnp.zeros((len(bu), len(bv)), dtype=self.coeffs.dtype)
+            for s in (self, other):
+                Tu = jnp.asarray(bu.transform(s.basis[0]),
+                                 dtype=s.coeffs.dtype)
+                Tv = jnp.asarray(bv.transform(s.basis[1]),
+                                 dtype=s.coeffs.dtype)
+                out = out + jnp.einsum("ui,vj,ij->uv", Tu, Tv, s.coeffs)
+            return TensorBSpline([bu, bv], out)
+        return TensorBSpline(self.basis, self.coeffs + other)
+
+    __radd__ = __add__
+
+    def __mul__(self, other):
+        if isinstance(other, TensorBSpline):
+            pu, Wu = self.basis[0].product_tensor(other.basis[0])
+            pv, Wv = self.basis[1].product_tensor(other.basis[1])
+            coeffs = jnp.einsum(
+                "qik,rjl,ij,kl->qr",
+                jnp.asarray(Wu, dtype=self.coeffs.dtype),
+                jnp.asarray(Wv, dtype=self.coeffs.dtype),
+                self.coeffs, other.coeffs)
+            return TensorBSpline([pu, pv], coeffs)
+        return TensorBSpline(self.basis, self.coeffs * other)
+
+    __rmul__ = __mul__
+
+    def derivative(self, o, axis):
+        Bd, P = self.basis[axis].derivative(o)
+        Pj = jnp.asarray(P, dtype=self.coeffs.dtype)
+        if axis == 0:
+            coeffs = jnp.einsum("qi,ij->qj", Pj, self.coeffs)
+            return TensorBSpline([Bd, self.basis[1]], coeffs)
+        coeffs = jnp.einsum("qj,ij->iq", Pj, self.coeffs)
+        return TensorBSpline([self.basis[0], Bd], coeffs)
+
+
+def circle_arc_splines(sweep: float):
+    """Quadratic-NURBS arc: (cos, sin, weight) numerator/denominator BSplines
+    on [0, 1] covering a rotation of ``sweep`` radians from angle 0
+    (the construction behind reference obstacle.py:300-332: quarter-circle
+    NURBS segments, cropped to the horizon).  Returns (cos_num, sin_num, w)
+    such that cos(sweep*u) = cos_num(u)/w(u), sin likewise."""
+    if sweep <= 0:
+        raise ValueError("sweep must be positive")
+    quarter = 0.5 * np.pi
+    n_q = int(np.ceil(sweep / quarter))
+    # basis over n_q quarters in u' in [0, n_q*quarter/sweep]
+    u_ends = np.array([(k + 1) * quarter / sweep for k in range(n_q)])
+    knots = np.r_[np.zeros(3),
+                  np.repeat(u_ends[:-1], 2) if n_q > 1 else np.array([]),
+                  np.full(3, u_ends[-1])]
+    basis = Basis(knots, 2)
+    c = np.sqrt(2.0) / 2.0
+    cos_pat = np.array([1, c, 0, -c, -1, -c, 0, c])
+    sin_pat = np.array([0, c, 1, c, 0, -c, -1, -c])
+    w_pat = np.array([1, c, 1, c, 1, c, 1, c])
+    n = len(basis)
+    cos_cfs = np.array([cos_pat[k % 8] for k in range(n)])
+    sin_cfs = np.array([sin_pat[k % 8] for k in range(n)])
+    w_cfs = np.array([w_pat[k % 8] for k in range(n)])
+    if u_ends[-1] > 1.0 + 1e-12:
+        T, basis = basis.interval_T(0.0, 1.0)
+        cos_cfs, sin_cfs, w_cfs = T @ cos_cfs, T @ sin_cfs, T @ w_cfs
+    return (BSpline(basis, cos_cfs), BSpline(basis, sin_cfs),
+            BSpline(basis, w_cfs))
+
+
 def evalspline(s: BSpline, t):
     """Evaluate spline at traced scalar t (reference: spline_extra.py:28-55)."""
     bvals = eval_basis_traced(s.basis, jnp.asarray(t, dtype=s.coeffs.dtype))
