@@ -21,6 +21,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# persistent compilation cache: repeat bench invocations skip XLA compiles
+try:
+    jax.config.update("jax_compilation_cache_dir", os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 # make the CPU backend available for one-time precomputation (structure
 # detection / affine tensor builds) -- TPU remote compiles are slow
 from omg_tools_tpu.utils.devices import enable_host_backend  # noqa: E402
@@ -64,20 +72,22 @@ def main():
     goals = np.tile([2.0, 2.0], (BATCH, 1)) + rng.uniform(-0.3, 0.3,
                                                           (BATCH, 2))
     x0, p0, state = runner.make_batch(starts, goals)
+    # big tensors enter as jit ARGUMENTS (remote-compile payload limit)
+    consts = jax.device_put(runner.consts())
 
     init = jax.jit(runner.init_solver_state)
-    st = init(x0, p0)
+    st = init(x0, p0, consts)
     jax.block_until_ready(st.x)
 
     roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=OUTER_ITER))
-    carry, states = roll(st, p0, state)        # compile + first run
+    carry, states = roll(st, p0, state, consts)   # compile + first run
     jax.block_until_ready(states)
     setup_s = time.time() - t_setup
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        carry, states = roll(st, p0, state)
+        carry, states = roll(st, p0, state, consts)
         jax.block_until_ready(states)
         times.append(time.time() - t0)
     run_s = float(np.median(times))

@@ -32,9 +32,10 @@ rng = np.random.default_rng(0)
 starts = np.tile([-1.5, -1.5], (BATCH, 1)) + rng.uniform(-0.3, 0.3, (BATCH, 2))
 goals = np.tile([2.0, 2.0], (BATCH, 1)) + rng.uniform(-0.3, 0.3, (BATCH, 2))
 x0, p0, state = runner.make_batch(starts, goals)
-st = jax.jit(runner.init_solver_state)(x0, p0)
+consts = jax.device_put(runner.consts())
+st = jax.jit(runner.init_solver_state)(x0, p0, consts)
 roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=4))
-carry, states = roll(st, p0, state)
+carry, states = roll(st, p0, state, consts)
 jax.block_until_ready(states)
 d1 = np.linalg.norm(np.asarray(states)[:, -1] - goals, axis=1)
 print(f"batched_p2p_tpu: {BATCH} scenarios x {N_STEPS} steps,"

@@ -48,6 +48,67 @@ class Deployer:
         self.current_time = current_time
         return {v: v.trajectories for v in self.problem.vehicles}
 
+    def update_segment(self, current_time, states=None, max_retries=20,
+                       feas_tol=1e-3, perturbation=0.05):
+        """Segment-wise G-code deployment update with infeasibility
+        recovery: on a failed solve, roll the trajectories back, perturb the
+        predicted state along the active segment's direction and retry, up
+        to ``max_retries`` attempts (reference deployer.py:81-239)."""
+        problem = self.problem
+        vehicles = problem.vehicles
+        snapshots = [({k: v.copy() for k, v in veh.trajectories.items()},
+                      {k: v.copy() for k, v in veh.prediction.items()})
+                     for veh in vehicles]
+        direction = None
+        segments = getattr(problem, "segments_all", None)
+        if segments is not None:
+            seg = segments[getattr(problem, "window_start", 0)]
+            d = np.asarray(seg["end"], dtype=np.float64) \
+                - np.asarray(seg["start"], dtype=np.float64)
+            nrm = np.linalg.norm(d)
+            direction = d / nrm if nrm > 0 else None
+        for attempt in range(max_retries + 1):
+            result = self.update(current_time, states=states)
+            feas = problem.solver_stats.get(
+                "feas", problem.solver_stats.get("kkt_err", 0.0))
+            if feas <= feas_tol:
+                return result
+            # rollback + perturb the prediction along the segment line
+            for veh, (traj, pred) in zip(vehicles, snapshots):
+                veh.trajectories = {k: v.copy() for k, v in traj.items()}
+                veh.prediction = {k: v.copy() for k, v in pred.items()}
+                if direction is not None and "state" in veh.prediction:
+                    n = min(len(direction), veh.prediction["state"].shape[0])
+                    veh.prediction["state"][:n] += (perturbation
+                                                    * (attempt + 1)
+                                                    * direction[:n])
+            problem.reinitialize()
+        return None  # infeasible after all retries
+
+    def save_results(self, name="results", path="results/"):
+        """CSV dump of every vehicle's simulated signals
+        (reference deployer.py:359-364)."""
+        import csv
+        import os
+        os.makedirs(path, exist_ok=True)
+        files = []
+        for k, veh in enumerate(self.problem.vehicles):
+            target = os.path.join(path, f"{name}_vehicle{k}.csv")
+            sig = veh.signals
+            keys = [key for key in ("time", "state", "input", "pose")
+                    if key in sig]
+            rows = np.vstack([np.atleast_2d(sig[key]) for key in keys])
+            header = []
+            for key in keys:
+                n = np.atleast_2d(sig[key]).shape[0]
+                header += [key if n == 1 else f"{key}{i}" for i in range(n)]
+            with open(target, "w", newline="") as fh:
+                writer = csv.writer(fh)
+                writer.writerow(header)
+                writer.writerows(rows.T)
+            files.append(target)
+        return files
+
 
 class Simulator:
 

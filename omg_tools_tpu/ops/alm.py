@@ -179,7 +179,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         return jnp.max(jnp.maximum(lb - gv, 0.0)
                        + jnp.maximum(gv - ub, 0.0), initial=0.0)
 
-    def make_evals(p, dtype, cA=None):
+    def make_evals(p, dtype, cA=None, Q=None):
         """Per-solve evaluation handles.  In quadratic mode
         (g = c + A x + x^T Q x with constant Q) AD runs once per solve at
         x = 0 and the whole inner iteration is a handful of large
@@ -188,7 +188,12 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
         ``cA``: optional externally-precomputed (c, A, f0, gf) in RAW
         (unscaled) units -- e.g. from the batched rollout's per-phase affine
-        tensors -- eliminating even the once-per-solve AD."""
+        tensors -- eliminating even the once-per-solve AD.
+
+        ``Q``: the quadratic tensor passed as a RUNTIME argument.  When the
+        solve is jitted for a remote backend the tensor must enter as a jit
+        argument, not a closure constant -- closure constants are inlined
+        into the HLO payload and can exceed the remote-compile size limit."""
         if Qs_np is not None:
             if cA is not None:
                 c_raw, A_raw, f0_raw, gf_raw = cA
@@ -206,7 +211,8 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                 A = jac_g(zero, p)
                 f0 = f(zero, p)
                 gf = grad_f(zero, p)   # objective is linear in x
-            Qs = _Qs(dtype)
+            # runtime-provided Q must be the SCALED tensor (solve.Q_scaled)
+            Qs = _Qs(dtype) if Q is None else Q
 
             def J_eval(x):
                 return A + 2.0 * jnp.einsum("kij,j->ki", Qs, x)
@@ -229,7 +235,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
             return dict(quadratic=True, g=g_eval, J=J_eval,
                         g_from_J=g_from_J, quad_dir=quad_dir, f=f_eval,
-                        gf=gf_eval)
+                        gf=gf_eval, Qs=Qs)
         return dict(quadratic=False,
                     g=lambda x: g(x, p),
                     J=lambda x: jac_g(x, p),
@@ -260,7 +266,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             dx = -jax.scipy.linalg.cho_solve(cho, grad)
         else:
             if Qs_np is not None:
-                W = 2.0 * jnp.einsum("kij,k->ij", _Qs(x.dtype), y_hat)
+                W = 2.0 * jnp.einsum("kij,k->ij", evals["Qs"], y_hat)
             else:
                 W = hess_L(x, p, y_hat)
             H = W + Hpen
@@ -306,13 +312,13 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         return x_n, jnp.max(jnp.abs(grad), initial=0.0)
 
     def solve(x0, p, lb, ub, state0: Optional[ALMState] = None,
-              outer_iter: Optional[int] = None, cA=None):
+              outer_iter: Optional[int] = None, cA=None, Q=None):
         # TPU: full-f32 matmuls (the default bf16-multiply path destroys
         # Jacobian/Cholesky accuracy for these ill-conditioned systems)
         with jax.default_matmul_precision("highest"):
-            return _solve(x0, p, lb, ub, state0, outer_iter, cA)
+            return _solve(x0, p, lb, ub, state0, outer_iter, cA, Q)
 
-    def _solve(x0, p, lb, ub, state0, outer_iter, cA=None):
+    def _solve(x0, p, lb, ub, state0, outer_iter, cA=None, Q=None):
         lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
         x0 = jnp.asarray(x0)
         dtype = x0.dtype
@@ -337,7 +343,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                                     + zero0.astype(state0.n_iter.dtype))
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
-        evals = make_evals(jnp.asarray(p), dtype, cA=cA)
+        evals = make_evals(jnp.asarray(p), dtype, cA=cA, Q=Q)
 
         def outer_body(st):
             def inner_body(_, carry):
@@ -385,4 +391,8 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                                        + jnp.maximum(gv - ub, 0.0))}
 
     solve.diagnose = diagnose
+    # the SCALED quadratic tensor (numpy): callers jitting for a remote
+    # backend fetch this, device_put it once, and pass it back as solve's Q
+    # argument so it enters the HLO as a parameter, not an inlined literal
+    solve.Q_scaled = Qs_np
     return solve

@@ -23,7 +23,25 @@ import numpy as np
 
 from ..ops.alm import ALMState
 
-__all__ = ["BatchedP2PRunner"]
+__all__ = ["BatchedP2PRunner", "RolloutConsts"]
+
+
+class RolloutConsts(NamedTuple):
+    """Large per-problem tensors threaded through the jitted rollout as
+    RUNTIME ARGUMENTS.  Closing over them would inline them into the HLO as
+    literals, blowing past remote-compile payload limits (axon HTTP 413)."""
+    Q: Optional[jax.Array]      # scaled quadratic tensor (m, n, n)
+    c0: Optional[jax.Array]     # per-phase affine constraint constants
+    C1: Optional[jax.Array]
+    A0: Optional[jax.Array]
+    TA: Optional[jax.Array]
+    f0: Optional[jax.Array]
+    gf: Optional[jax.Array]
+    lb: jax.Array
+    ub: jax.Array
+    M: jax.Array                # shiftoverknot warm-start transform
+    E0: jax.Array               # spline sampling matrices on the tau grid
+    E1: jax.Array
 
 
 class BatchedP2PRunner:
@@ -106,6 +124,18 @@ class BatchedP2PRunner:
         # remaining parameters, so the rollout needs no AD at all
         self._build_affine_cA()
 
+        self.Q_dev = None if self.solver.Q_scaled is None else \
+            jnp.asarray(self.solver.Q_scaled, dtype=dtype)
+
+    def consts(self) -> RolloutConsts:
+        """The rollout's large tensors, to be passed as jit ARGUMENTS."""
+        if self.affine_cA:
+            cA = (self.c0, self.C1, self.A0, self.TA, self.f0, self.gf)
+        else:
+            cA = (None,) * 6
+        return RolloutConsts(self.Q_dev, *cA, self.lb, self.ub,
+                             self.shift_M, self.E0, self.E1)
+
     def _build_affine_cA(self):
         from ..utils.devices import on_host
         with on_host():
@@ -176,14 +206,15 @@ class BatchedP2PRunner:
         else:
             self.affine_cA = False
 
-    def _cA_at(self, phase, p):
+    @staticmethod
+    def _cA_at(C: RolloutConsts, phase, p):
         """(c, A, f0, gf) for one scenario at the given phase (traced)."""
-        c = jnp.take(self.c0, phase, axis=0) \
-            + jnp.take(self.C1, phase, axis=0) @ p
-        A = jnp.take(self.A0, phase, axis=0) \
-            + jnp.einsum("mnq,q->mn", jnp.take(self.TA, phase, axis=0), p)
-        f0 = jnp.take(self.f0, phase, axis=0)
-        gf = jnp.take(self.gf, phase, axis=0)
+        c = jnp.take(C.c0, phase, axis=0) \
+            + jnp.take(C.C1, phase, axis=0) @ p
+        A = jnp.take(C.A0, phase, axis=0) \
+            + jnp.einsum("mnq,q->mn", jnp.take(C.TA, phase, axis=0), p)
+        f0 = jnp.take(C.f0, phase, axis=0)
+        gf = jnp.take(C.gf, phase, axis=0)
         return (c, A, f0, gf)
 
     # -- scenario construction (host) -------------------------------------
@@ -269,25 +300,28 @@ class BatchedP2PRunner:
                 jnp.asarray(starts, dtype=self.dtype))
 
     # -- the jitted rollout -------------------------------------------------
-    def init_solver_state(self, x0, p0):
-        """Batched cold solve producing the initial warm state."""
+    def init_solver_state(self, x0, p0, consts: Optional[RolloutConsts] = None):
+        """Batched cold solve producing the initial warm state.  Pass
+        ``consts`` explicitly when jitting for a remote backend."""
+        C = consts if consts is not None else self.consts()
         if self.affine_cA:
             solve = jax.vmap(lambda x, p: self.solver(
-                x, p, self.lb, self.ub, cA=self._cA_at(0, p)))
+                x, p, C.lb, C.ub, cA=self._cA_at(C, 0, p), Q=C.Q))
         else:
-            solve = jax.vmap(lambda x, p: self.solver(x, p, self.lb, self.ub))
+            solve = jax.vmap(lambda x, p: self.solver(x, p, C.lb, C.ub,
+                                                      Q=C.Q))
         return solve(x0, p0)
 
     def rollout_fn(self, n_steps, outer_iter=4):
         """Return a jittable function
-        (alm_state, p, state) -> (final carry, per-step states)
-        advancing ``n_steps`` MPC periods on-device."""
+        (alm_state, p, state, consts) -> (final carry, per-step states)
+        advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
+        :meth:`consts`) carries the big tensors as jit arguments; omitting it
+        falls back to closure capture (fine on the local backend only)."""
         spk = self.steps_per_knot
         dt = self.update_time
         solver = self.solver
-        lb, ub = self.lb, self.ub
-        M = self.shift_M
-        E0, E1 = self.E0, self.E1
+        affine = self.affine_cA
         i_spl = jnp.asarray(self.i_splines)
         i_t = jnp.asarray(self.i_t)
         i_state0 = jnp.asarray(self.i_state0)
@@ -296,27 +330,29 @@ class BatchedP2PRunner:
                         for (ix, iv, ia) in self.obstacle_idx]
         n_coef, n_spl = self.spline_shape
         horizon = self.horizon
+        cA_at = self._cA_at
+        default_consts = self.consts
 
-        def one_scenario_step(carry, k):
+        def one_scenario_step(C, carry, k):
             st, p, state = carry
             phase = k % spk
             # knot passage: shift the warm start (k > 0 and phase == 0)
             do_shift = (phase == 0) & (k > 0)
-            x_warm = jnp.where(do_shift, M @ st.x, st.x)
+            x_warm = jnp.where(do_shift, C.M @ st.x, st.x)
             p = p.at[i_t].set(phase * dt)
             st_in = st._replace(x=x_warm,
                                feas=jnp.full_like(st.feas, jnp.inf),
                                stat=jnp.full_like(st.stat, jnp.inf),
                                n_iter=jnp.zeros_like(st.n_iter))
-            cA = self._cA_at(phase, p) if self.affine_cA else None
-            st = solver(x_warm, p, lb, ub, state0=st_in,
-                        outer_iter=outer_iter, cA=cA)
+            cA = cA_at(C, phase, p) if affine else None
+            st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
+                        outer_iter=outer_iter, cA=cA, Q=C.Q)
             # ideal plant update: state/input from the solved splines at the
             # next sample instant
             cfs = st.x[i_spl].reshape(n_coef, n_spl)
             row = phase + 1
-            state_n = E0[row] @ cfs                  # (n_spl,)
-            input_n = (E1[row] @ cfs) / horizon
+            state_n = C.E0[row] @ cfs                  # (n_spl,)
+            input_n = (C.E1[row] @ cfs) / horizon
             p = p.at[i_state0].set(state_n)
             p = p.at[i_input0].set(input_n)
             # obstacle constant-acceleration propagation
@@ -326,12 +362,14 @@ class BatchedP2PRunner:
                 p = p.at[iv].set(vel + acc * dt)
             return (st, p, state_n), state_n
 
-        def rollout(st, p, state):
-            batched = jax.vmap(one_scenario_step, in_axes=((0, 0, 0), None),
+        def rollout(st, p, state, consts: Optional[RolloutConsts] = None):
+            C = consts if consts is not None else default_consts()
+            batched = jax.vmap(one_scenario_step,
+                               in_axes=(None, (0, 0, 0), None),
                                out_axes=((0, 0, 0), 0))
 
             def scan_body(carry, k):
-                carry, out = batched(carry, k)
+                carry, out = batched(C, carry, k)
                 return carry, out
 
             carry, states = jax.lax.scan(scan_body, (st, p, state),

@@ -15,6 +15,15 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: repeat suite runs (and repeated problem
+# shapes within one run) skip XLA compilation entirely
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+except Exception:
+    pass
 # host/CI tests run in f64 (like the CPU simulation path); float32 behavior
 # (the TPU path) is exercised by dedicated f32 solver tests and the bench
 jax.config.update("jax_enable_x64", True)

@@ -43,6 +43,10 @@ def test_example_compiles(fname):
 def test_example_runs(fname):
     env = dict(os.environ, OMG_SMOKE="1", MPLBACKEND="Agg")
     env.setdefault("JAX_PLATFORMS", "cpu")
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(__file__), "..",
+                                ".jax_cache"))
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
     result = subprocess.run(
         [sys.executable, fname], cwd=EXAMPLES_DIR, env=env,
         capture_output=True, text=True, timeout=1800)

@@ -1,0 +1,93 @@
+"""High-level planner tests: A* global planner, multi-frame problem,
+scheduler problem, G-code pipeline (reference examples: test_multiframe.py,
+schedulerproblem_example*.py, GCode_examples)."""
+
+import numpy as np
+import pytest
+
+from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle,
+                           Rectangle, Square, MultiFrameProblem,
+                           SchedulerProblem, AStarPlanner, Tool, GCodeReader,
+                           GCodeSchedulerProblem, Simulator)
+
+
+def test_astar_avoids_obstacle():
+    env = Environment(room={"shape": Square(10.0)})
+    env.add_obstacle(Obstacle({"position": [0.0, 0.0]},
+                              shape=Rectangle(width=0.5, height=6.0)))
+    planner = AStarPlanner(env, [25, 25], [-4.0, 0.0], [4.0, 0.0],
+                           vehicle_size=0.2)
+    path = planner.get_path([-4.0, 0.0], [4.0, 0.0])
+    assert path is not None and len(path) > 2
+    path = np.asarray(path)
+    # every waypoint keeps clear of the wall (|x|<0.45 band is blocked)
+    on_wall = (np.abs(path[:, 0]) < 0.25) & (np.abs(path[:, 1]) < 3.0)
+    assert not on_wall.any()
+    assert np.allclose(path[-1], [4.0, 0.0], atol=0.5)
+
+
+def test_multiframe_two_rooms():
+    vehicle = Holonomic()
+    vehicle.set_initial_conditions([-3.0, 0.0])
+    vehicle.set_terminal_conditions([3.0, 0.0])
+    env = Environment(room=[
+        {"shape": Rectangle(width=5.0, height=2.0), "position": [-1.5, 0.0]},
+        {"shape": Rectangle(width=5.0, height=2.0), "position": [1.5, 0.0]}])
+    problem = MultiFrameProblem(vehicle, env, n_frames=2)
+    problem.set_options({"verbose": 0})
+    problem.init()
+    problem.initialize(0.0)
+    vehicle.predict(0.0, 0.1, 0.01, enforce_states=True)
+    problem.reinitialize()
+    problem.solve(0.0, 0.1)
+    assert problem.solver_stats["feas"] < 1e-4
+    problem.store(0.0, 0.1, 0.01)
+    S = vehicle.trajectories["state"]
+    np.testing.assert_allclose(S[:, -1], [3.0, 0.0], atol=0.1)
+    # trajectory stays inside the union of the two rooms (|y| <= 1)
+    assert np.max(np.abs(S[1])) < 1.05
+
+
+def test_scheduler_frames_and_solve():
+    vehicle = Holonomic(shapes=Circle(0.1))
+    vehicle.set_initial_conditions([-4.0, -4.0])
+    vehicle.set_terminal_conditions([4.0, 4.0])
+    env = Environment(room={"shape": Square(10.0)})
+    env.add_obstacle(Obstacle({"position": [-2.0, -2.0]},
+                              shape=Circle(0.5)))
+    problem = SchedulerProblem(vehicle, env, frame_size=4.0,
+                               n_cells=[20, 20])
+    problem.set_options({"verbose": 0})
+    problem.init()
+    assert problem.frame is not None
+    assert problem.frame.point_in_frame([-4.0, -4.0])
+    sim = Simulator(problem)
+    problem.initialize(0.0)
+    for _ in range(2):
+        sim.update()
+    # progressing toward the first frame goal
+    d0 = np.linalg.norm(np.array([-4.0, -4.0]) - problem.frame.goal)
+    d1 = np.linalg.norm(vehicle.signals["state"][:2, -1]
+                        - np.asarray(problem.frame.goal))
+    assert d1 < d0
+
+
+def test_gcode_pipeline():
+    gcode = ["G00 X0 Y0 Z0", "G01 X6 Y0 Z0", "G01 X6 Y4 Z0"]
+    reader = GCodeReader()
+    blocks = reader.parse(gcode)
+    assert len(blocks) >= 2
+    tool = Tool(tolerance=0.2)
+    tool.define_knots(knot_intervals=5)
+    tool.set_initial_conditions(blocks[0].start)
+    problem = GCodeSchedulerProblem(tool, blocks, n_segments=2)
+    problem.set_options({"verbose": 0})
+    problem.init()
+    sim = Simulator(problem, sample_time=0.001, update_time=0.01)
+    problem.initialize(0.0)
+    for _ in range(2):
+        sim.update()
+    # tool tracks the first segment within tolerance
+    pos = tool.signals["state"][:2, -1]
+    assert abs(pos[1]) < 0.25          # stays in the Y-tolerance tube
+    assert problem.solver_stats["feas"] < 1e-3
