@@ -1,0 +1,186 @@
+"""Pallas TPU kernels for the solver hot path.
+
+The ALM inner step solves one dense symmetric-positive-definite system
+H dx = grad per scenario per Newton iteration (ops/alm.py:inner_step).  For
+the canonical batch (B=256, n=151) XLA's batched Cholesky takes ~13.6 ms on
+a v5e chip -- 2/3 of the whole inner-iteration budget -- because its blocked
+LAPACK-style lowering leaves the VPU idle across the small matrices.
+
+This kernel flips the layout: the BATCH lives in the 128-wide lane
+dimension, so every Cholesky/substitution step is an elementwise vector op
+across 128 scenarios at once (n sequential steps of (n, n, 128) masked
+rank-1 updates -- ~n^3 * B VPU flops, ~0.5 ms at these sizes).  Matrices are
+factored in place in VMEM (input/output aliased), then forward/backward
+substitution runs in the same kernel launch.
+
+Exposed as :func:`psd_solve`, a ``jax.custom_batching.custom_vmap`` op:
+unbatched callers get XLA's cho_solve; vmapped callers (the batched MPC
+rollout) dispatch to this kernel on TPU backends and to XLA elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["psd_solve", "batched_psd_solve", "pallas_available"]
+
+_LANES = 128
+
+
+def _chol_solve_kernel(H_ref, g_ref, L_ref, dx_ref, z_ref):
+    """Factor H (n, n, 128) in place and solve for dx (n, 128).
+
+    H_ref/L_ref and g_ref/dx_ref are aliased input/output pairs; z_ref is a
+    VMEM scratch holding the forward-substitution intermediate.
+    """
+    n = H_ref.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    # -- in-place masked right-looking Cholesky --------------------------
+    def chol_step(j, _):
+        diag = L_ref[pl.ds(j, 1), pl.ds(j, 1), :]          # (1, 1, 128)
+        inv = jax.lax.rsqrt(diag[0])                        # (1, 128)
+        col = L_ref[:, pl.ds(j, 1), :][:, 0, :] * inv       # (n, 128)
+        col = jnp.where(row_iota >= j, col, 0.0)
+        L_ref[:, pl.ds(j, 1), :] = col[:, None, :]
+        strict = jnp.where(row_iota > j, col, 0.0)          # (n, 128)
+        # trailing update: only rows>j, cols>j see nonzero outer product
+        L_ref[:, :, :] = L_ref[:, :, :] \
+            - strict[:, None, :] * strict[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, chol_step, 0)
+
+    # -- forward substitution: L z = g -----------------------------------
+    def fwd_step(i, _):
+        row = L_ref[pl.ds(i, 1), :, :][0]                   # (n, 128)
+        mask = (row_iota < i).astype(row.dtype)             # (n, 1)
+        acc = jnp.sum(row * z_ref[:, :] * mask, axis=0,
+                      keepdims=True)                        # (1, 128)
+        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]        # (1, 128)
+        z_ref[pl.ds(i, 1), :] = (g_ref[pl.ds(i, 1), :] - acc) / diag
+        return 0
+
+    z_ref[:, :] = jnp.zeros_like(z_ref)
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    # -- backward substitution: L^T dx = z --------------------------------
+    def bwd_step(t, _):
+        i = n - 1 - t
+        colT = L_ref[:, pl.ds(i, 1), :][:, 0, :]            # (n, 128) = L[:, i]
+        mask = (row_iota > i).astype(colT.dtype)
+        acc = jnp.sum(colT * dx_ref[:, :] * mask, axis=0,
+                      keepdims=True)                        # (1, 128)
+        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]
+        dx_ref[pl.ds(i, 1), :] = (z_ref[pl.ds(i, 1), :] - acc) / diag
+        return 0
+
+    dx_ref[:, :] = jnp.zeros_like(dx_ref)
+    jax.lax.fori_loop(0, n, bwd_step, 0)
+
+
+def _solve_tile(H_t, g_t, interpret):
+    """One (n, n, 128) tile: returns dx (n, 128)."""
+    n = H_t.shape[0]
+    L, dx = pl.pallas_call(
+        _chol_solve_kernel,
+        out_shape=(jax.ShapeDtypeStruct((n, n, _LANES), H_t.dtype),
+                   jax.ShapeDtypeStruct((n, _LANES), g_t.dtype)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[pltpu.VMEM((n, _LANES), H_t.dtype)],
+        input_output_aliases={0: 0, 1: 1},
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * n ** 3 * _LANES),
+            bytes_accessed=int(4 * n * n * _LANES * (n // 8 + 2)),
+            transcendentals=int(n * _LANES)),
+    )(H_t, g_t)
+    return dx
+
+
+def _is_tpu_backend():
+    try:
+        dev = jax.devices()[0]
+        plat = getattr(dev, "platform", "")
+        return plat in ("tpu", "axon") or "TPU" in str(dev.device_kind)
+    except Exception:
+        return False
+
+
+def batched_psd_solve(H, g, interpret=None):
+    """Solve H[b] dx[b] = g[b] for a batch of SPD matrices.
+
+    H: (B, n, n), g: (B, n).  Pads n to a multiple of 8 (sublane tile) and B
+    to a multiple of 128 (lane tile), transposes the batch into the lane
+    dimension, and runs the fused Cholesky+substitution kernel per tile."""
+    H = jnp.asarray(H)
+    g = jnp.asarray(g)
+    B, n = g.shape
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    n_pad = int(-(-n // 8) * 8)
+    B_pad = int(-(-B // _LANES) * _LANES)
+    eye_tail = jnp.eye(n_pad, dtype=H.dtype)[None, n:, :]
+    Hp = jnp.zeros((B_pad, n_pad, n_pad), dtype=H.dtype)
+    Hp = Hp.at[:B, :n, :n].set(H)
+    # padded rows/cols get an identity diagonal so rsqrt stays finite
+    Hp = Hp.at[:, n:, :].set(jnp.broadcast_to(eye_tail,
+                                              (B_pad, n_pad - n, n_pad)))
+    Hp = Hp.at[B:].set(jnp.eye(n_pad, dtype=H.dtype)[None])
+    gp = jnp.zeros((B_pad, n_pad), dtype=g.dtype)
+    gp = gp.at[:B, :n].set(g)
+
+    Ht = jnp.moveaxis(Hp, 0, -1)          # (n_pad, n_pad, B_pad)
+    gt = jnp.moveaxis(gp, 0, -1)          # (n_pad, B_pad)
+
+    tiles = B_pad // _LANES
+    if tiles == 1:
+        dx_t = _solve_tile(Ht, gt, interpret)
+    else:
+        Ht = Ht.reshape(n_pad, n_pad, tiles, _LANES)
+        gt = gt.reshape(n_pad, tiles, _LANES)
+        dx_tiles = jax.lax.map(
+            lambda args: _solve_tile(args[0], args[1], interpret),
+            (jnp.moveaxis(Ht, 2, 0), jnp.moveaxis(gt, 1, 0)))
+        dx_t = jnp.moveaxis(dx_tiles, 0, 1).reshape(n_pad, B_pad)
+    dx = jnp.moveaxis(dx_t, -1, 0)[:B, :n]
+    return dx
+
+
+@jax.custom_batching.custom_vmap
+def psd_solve(H, g):
+    """Solve the SPD system H dx = g.
+
+    Unbatched: XLA Cholesky.  Under vmap on a TPU backend: the Pallas
+    lane-batched kernel (the ALM hot path, see module docstring)."""
+    cho = jax.scipy.linalg.cho_factor(H)
+    return jax.scipy.linalg.cho_solve(cho, g)
+
+
+@psd_solve.def_vmap
+def _psd_solve_vmap_rule(axis_size, in_batched, H, g):
+    H_b, g_b = in_batched
+    if not H_b:
+        H = jnp.broadcast_to(H, (axis_size,) + H.shape)
+    if not g_b:
+        g = jnp.broadcast_to(g, (axis_size,) + g.shape)
+    if _is_tpu_backend() and H.ndim == 3:
+        out = batched_psd_solve(H, g, interpret=False)
+    else:
+        out = jax.vmap(lambda Hi, gi: jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Hi), gi))(H, g)
+    return out, True
+
+
+def pallas_available():
+    """True when the fast path will engage (TPU backend present)."""
+    return _is_tpu_backend()
