@@ -36,7 +36,7 @@ enable_host_backend()
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BATCH = int(os.environ.get("BENCH_BATCH", "256"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
 OUTER_ITER = int(os.environ.get("BENCH_OUTER", "4"))
 

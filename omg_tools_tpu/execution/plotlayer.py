@@ -233,14 +233,19 @@ class PlotLayer:
                               .astype(int)))
 
     def _n_samples(self):
+        # prefer this entity's own data: the class-level simulator pointer
+        # may belong to a DIFFERENT problem in the same process
+        signals = getattr(self, "signals", None)
+        if signals and "time" in signals:
+            return np.atleast_2d(signals["time"]).shape[-1]
+        for vehicle in getattr(self, "vehicles", []):
+            if "time" in vehicle.signals:
+                return vehicle.signals["time"].shape[-1]
         sim = PlotLayer.simulator
         if sim is not None and getattr(sim, "problem", None) is not None:
             for vehicle in getattr(sim.problem, "vehicles", []):
                 if "time" in vehicle.signals:
                     return vehicle.signals["time"].shape[-1]
-        signals = getattr(self, "signals", None)
-        if signals and "time" in signals:
-            return np.atleast_2d(signals["time"]).shape[-1]
         return 1
 
     # -- minimal tikz writer --------------------------------------------------

@@ -171,7 +171,7 @@ class Simulator:
         self.deployer.reset()
         self.deployer.update(self.current_time)
         if simulation_time is None:
-            horizon = self.problem.vehicles[0].trajectories["time"]
+            horizon = np.ravel(self.problem.vehicles[0].trajectories["time"])
             simulation_time = float(horizon[-1] - horizon[0])
         if hard_stop is not None:
             t_stop = hard_stop["time"]
