@@ -265,10 +265,12 @@ class Transcription:
         geometric hyperplane warm starts and straight-line spline guesses
         depend on current vehicle predictions / obstacle positions).
         Structure must stay identical; only block init values change."""
+        from ..utils.devices import on_host
         ctx = OptiContext("layout")
         self.father._attach(ctx)
         try:
-            self._build_fn()
+            with on_host():
+                self._build_fn()
         finally:
             self.father._attach(None)
         if list(ctx.variables.keys()) != list(self.layout.variables.keys()):
@@ -346,10 +348,15 @@ class OptiFather:
             child._ctx = ctx
 
     def transcribe(self, build_fn) -> Transcription:
+        from ..utils.devices import on_host
         ctx = OptiContext("layout")
         self._attach(ctx)
         try:
-            build_fn()
+            # layout is host bookkeeping: tiny eager ops on a remote TPU
+            # backend would each pay a remote-compile round trip (~0.2 s
+            # apiece, ~45 s per transcription)
+            with on_host():
+                build_fn()
         finally:
             self._attach(None)
         return Transcription(self, ctx, build_fn)

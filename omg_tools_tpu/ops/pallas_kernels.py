@@ -2,16 +2,19 @@
 
 The ALM inner step solves one dense symmetric-positive-definite system
 H dx = grad per scenario per Newton iteration (ops/alm.py:inner_step).  For
-the canonical batch (B=256, n=151) XLA's batched Cholesky takes ~13.6 ms on
-a v5e chip -- 2/3 of the whole inner-iteration budget -- because its blocked
+the canonical batch (B=256, n=151) XLA's batched Cholesky takes ~24 ms on a
+v5e chip -- most of the inner-iteration budget -- because its blocked
 LAPACK-style lowering leaves the VPU idle across the small matrices.
 
 This kernel flips the layout: the BATCH lives in the 128-wide lane
 dimension, so every Cholesky/substitution step is an elementwise vector op
 across 128 scenarios at once (n sequential steps of (n, n, 128) masked
-rank-1 updates -- ~n^3 * B VPU flops, ~0.5 ms at these sizes).  Matrices are
-factored in place in VMEM (input/output aliased), then forward/backward
-substitution runs in the same kernel launch.
+rank-1 updates -- ~n^3 * B VPU flops).  H stays in HBM (pltpu.ANY) and is
+DMA'd into a VMEM scratch where it is factored in place; only dx (n, 128)
+is written back.  Keeping the factor out of the kernel outputs halves the
+HBM traffic and keeps the scoped-VMEM footprint to ONE (n, n, 128) buffer
+-- an aliased in/out pair is staged twice by XLA when the call inlines
+(unrolled single-tile case), which OOMs VMEM for n ~> 120.
 
 Exposed as :func:`psd_solve`, a ``jax.custom_batching.custom_vmap`` op:
 unbatched callers get XLA's cho_solve; vmapped callers (the batched MPC
@@ -33,14 +36,19 @@ __all__ = ["psd_solve", "batched_psd_solve", "pallas_available"]
 _LANES = 128
 
 
-def _chol_solve_kernel(H_ref, g_ref, L_ref, dx_ref, z_ref):
-    """Factor H (n, n, 128) in place and solve for dx (n, 128).
+def _chol_solve_kernel(H_hbm, g_ref, dx_ref, L_ref, z_ref, sem):
+    """Factor H (n, n, 128) in a VMEM scratch and solve for dx (n, 128).
 
-    H_ref/L_ref and g_ref/dx_ref are aliased input/output pairs; z_ref is a
-    VMEM scratch holding the forward-substitution intermediate.
+    H_hbm lives in HBM/ANY; L_ref/z_ref are VMEM scratch; sem is the DMA
+    completion semaphore.
     """
-    n = H_ref.shape[0]
+    n = H_hbm.shape[0]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    # stage H into VMEM scratch
+    copy = pltpu.make_async_copy(H_hbm, L_ref, sem)
+    copy.start()
+    copy.wait()
 
     # -- in-place masked right-looking Cholesky --------------------------
     def chol_step(j, _):
@@ -88,20 +96,19 @@ def _chol_solve_kernel(H_ref, g_ref, L_ref, dx_ref, z_ref):
 def _solve_tile(H_t, g_t, interpret):
     """One (n, n, 128) tile: returns dx (n, 128)."""
     n = H_t.shape[0]
-    L, dx = pl.pallas_call(
+    dx = pl.pallas_call(
         _chol_solve_kernel,
-        out_shape=(jax.ShapeDtypeStruct((n, n, _LANES), H_t.dtype),
-                   jax.ShapeDtypeStruct((n, _LANES), g_t.dtype)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, _LANES), g_t.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[pltpu.VMEM((n, _LANES), H_t.dtype)],
-        input_output_aliases={0: 0, 1: 1},
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, n, _LANES), H_t.dtype),
+                        pltpu.VMEM((n, _LANES), g_t.dtype),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=int(2 * n ** 3 * _LANES),
-            bytes_accessed=int(4 * n * n * _LANES * (n // 8 + 2)),
+            bytes_accessed=int(4 * n * n * _LANES),
             transcendentals=int(n * _LANES)),
     )(H_t, g_t)
     return dx

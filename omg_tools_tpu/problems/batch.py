@@ -59,11 +59,24 @@ class BatchedP2PRunner:
         from ..ops.alm import (make_alm_solver, ALMOptions,
                                detect_quadratic_structure)
         from ..utils.devices import on_host
+        from ..utils import cache as _cache
         with on_host():
             with jax.default_matmul_precision("highest"):
-                p_ref = jnp.asarray(problem.pack_parameters(0.0))
-                Q = detect_quadratic_structure(tr.constraints, tr.n_x, p_ref,
-                                               f=tr.objective)
+                p_base = problem.pack_parameters(0.0)
+                p_ref = jnp.asarray(p_base)
+                key = getattr(tr, "fingerprint", None) or \
+                    _cache.problem_fingerprint(tr, p_base)
+                self._cache_key = key
+                hit = _cache.load_tensors(key, "quadQ")
+                if hit is not None:
+                    Q = hit["Q"] if hit["has_Q"] else None
+                else:
+                    Q = detect_quadratic_structure(tr.constraints, tr.n_x,
+                                                   p_ref, f=tr.objective)
+                    _cache.store_tensors(
+                        key, "quadQ",
+                        {"has_Q": np.asarray(Q is not None),
+                         "Q": np.zeros((0,)) if Q is None else np.asarray(Q)})
         self.solver = make_alm_solver(
             tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
             ALMOptions(), row_scale=problem._row_scale,
@@ -138,9 +151,23 @@ class BatchedP2PRunner:
 
     def _build_affine_cA(self):
         from ..utils.devices import on_host
+        from ..utils import cache as _cache
+        hit = _cache.load_tensors(self._cache_key, "affine")
+        if hit is not None:
+            self.affine_cA = bool(hit["ok"])
+            if self.affine_cA:
+                dt = self.dtype
+                for name in ("c0", "C1", "A0", "TA", "f0", "gf"):
+                    setattr(self, name, jnp.asarray(hit[name], dtype=dt))
+            return
         with on_host():
             with jax.default_matmul_precision("highest"):
                 self._build_affine_cA_impl()
+        arrays = {"ok": np.asarray(self.affine_cA)}
+        if self.affine_cA:
+            for name in ("c0", "C1", "A0", "TA", "f0", "gf"):
+                arrays[name] = np.asarray(getattr(self, name))
+        _cache.store_tensors(self._cache_key, "affine", arrays)
 
     def _build_affine_cA_impl(self):
         tr = self.tr

@@ -71,11 +71,23 @@ class Problem(OptiChild, PlotLayer):
         # (runs on the CPU backend when available: one-time AD)
         from ..ops.solver import gradient_row_scales
         from ..utils.devices import on_host
+        from ..utils import cache as _cache
         with on_host():
             x_ref = jnp.asarray(tr.initial_guess())
-            p_ref = jnp.asarray(self.pack_parameters(0.0))
-            row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
-            grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
+            p_base = self.pack_parameters(0.0)
+            p_ref = jnp.asarray(p_base)
+            key = _cache.problem_fingerprint(tr, p_base)
+            tr.fingerprint = key
+            hit = _cache.load_tensors(key, "scales")
+            if hit is not None:
+                row_scale = hit["row_scale"]
+                grad0 = hit["grad0"]
+            else:
+                row_scale = gradient_row_scales(jax.jacfwd(g), x_ref, p_ref)
+                grad0 = np.asarray(jax.grad(f)(x_ref, p_ref))
+                _cache.store_tensors(key, "scales",
+                                     {"row_scale": row_scale,
+                                      "grad0": grad0})
         obj_scale = 1.0 / max(1.0, np.max(np.abs(grad0)) / 100.0)
         self._row_scale = row_scale
         self._obj_scale = obj_scale
