@@ -44,6 +44,18 @@ class RolloutConsts(NamedTuple):
     E1: jax.Array
 
 
+class CompactConsts(NamedTuple):
+    """Rollout constants in family-compacted form (ops/compact.py):
+    ~30x smaller than the dense tensors -- matters both for HBM and for
+    host->device transfer through the axon tunnel."""
+    CT: dict                    # CompactStructure.device_tensors()
+    lb: jax.Array
+    ub: jax.Array
+    M: jax.Array
+    E0: jax.Array
+    E1: jax.Array
+
+
 class BatchedP2PRunner:
 
     def __init__(self, problem, dtype=jnp.float32):
@@ -77,10 +89,7 @@ class BatchedP2PRunner:
                         key, "quadQ",
                         {"has_Q": np.asarray(Q is not None),
                          "Q": np.zeros((0,)) if Q is None else np.asarray(Q)})
-        self.solver = make_alm_solver(
-            tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
-            ALMOptions(), row_scale=problem._row_scale,
-            obj_scale=problem._obj_scale, quadratic_Q=Q)
+        self._Q_raw = None if Q is None else np.asarray(Q)
         self.structure = "quadratic" if Q is not None else "generic"
         vehicle = problem.vehicles[0]
         self.vehicle = vehicle
@@ -137,11 +146,38 @@ class BatchedP2PRunner:
         # remaining parameters, so the rollout needs no AD at all
         self._build_affine_cA()
 
+        # family compaction (ops/compact.py): exploits the banded spline
+        # sparsity -- the default TPU hot path when the problem is affine+
+        # quadratic; falls back to the dense quadratic form otherwise
+        self.compact = None
+        if self.affine_cA and self._Q_raw is not None:
+            from ..ops.compact import build_compact
+            con_blocks = [(c.offset, c.rows)
+                          for c in tr.layout.constraints]
+            an = self._affine_np
+            self.compact = build_compact(
+                con_blocks, self._Q_raw, an["c0"], an["C1"], an["A0"],
+                an["TA"], an["f0"], an["gf"],
+                row_scale=problem._row_scale,
+                obj_scale=problem._obj_scale)
+            self.structure = "compact"
+
+        self.solver = make_alm_solver(
+            tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
+            ALMOptions(), row_scale=problem._row_scale,
+            obj_scale=problem._obj_scale,
+            quadratic_Q=None if self.compact is not None else Q,
+            compact=self.compact)
+
         self.Q_dev = None if self.solver.Q_scaled is None else \
             jnp.asarray(self.solver.Q_scaled, dtype=dtype)
 
-    def consts(self) -> RolloutConsts:
+    def consts(self):
         """The rollout's large tensors, to be passed as jit ARGUMENTS."""
+        if self.compact is not None:
+            return CompactConsts(self.compact.device_tensors(self.dtype),
+                                 self.lb, self.ub, self.shift_M,
+                                 self.E0, self.E1)
         if self.affine_cA:
             cA = (self.c0, self.C1, self.A0, self.TA, self.f0, self.gf)
         else:
@@ -152,21 +188,26 @@ class BatchedP2PRunner:
     def _build_affine_cA(self):
         from ..utils.devices import on_host
         from ..utils import cache as _cache
+        self._affine_np = None
         hit = _cache.load_tensors(self._cache_key, "affine")
         if hit is not None:
             self.affine_cA = bool(hit["ok"])
             if self.affine_cA:
                 dt = self.dtype
-                for name in ("c0", "C1", "A0", "TA", "f0", "gf"):
-                    setattr(self, name, jnp.asarray(hit[name], dtype=dt))
+                self._affine_np = {name: hit[name] for name in
+                                   ("c0", "C1", "A0", "TA", "f0", "gf")}
+                for name, val in self._affine_np.items():
+                    setattr(self, name, jnp.asarray(val, dtype=dt))
             return
         with on_host():
             with jax.default_matmul_precision("highest"):
                 self._build_affine_cA_impl()
         arrays = {"ok": np.asarray(self.affine_cA)}
         if self.affine_cA:
+            self._affine_np = {}
             for name in ("c0", "C1", "A0", "TA", "f0", "gf"):
                 arrays[name] = np.asarray(getattr(self, name))
+                self._affine_np[name] = arrays[name]
         _cache.store_tensors(self._cache_key, "affine", arrays)
 
     def _build_affine_cA_impl(self):
@@ -327,11 +368,16 @@ class BatchedP2PRunner:
                 jnp.asarray(starts, dtype=self.dtype))
 
     # -- the jitted rollout -------------------------------------------------
-    def init_solver_state(self, x0, p0, consts: Optional[RolloutConsts] = None):
+    def init_solver_state(self, x0, p0, consts=None):
         """Batched cold solve producing the initial warm state.  Pass
         ``consts`` explicitly when jitting for a remote backend."""
         C = consts if consts is not None else self.consts()
-        if self.affine_cA:
+        if self.compact is not None:
+            from ..ops.compact import resolve_phase
+            struct = self.compact
+            solve = jax.vmap(lambda x, p: self.solver(
+                x, p, C.lb, C.ub, ct=resolve_phase(struct, C.CT, 0, p)))
+        elif self.affine_cA:
             solve = jax.vmap(lambda x, p: self.solver(
                 x, p, C.lb, C.ub, cA=self._cA_at(C, 0, p), Q=C.Q))
         else:
@@ -349,6 +395,7 @@ class BatchedP2PRunner:
         dt = self.update_time
         solver = self.solver
         affine = self.affine_cA
+        compact = self.compact
         i_spl = jnp.asarray(self.i_splines)
         i_t = jnp.asarray(self.i_t)
         i_state0 = jnp.asarray(self.i_state0)
@@ -371,9 +418,15 @@ class BatchedP2PRunner:
                                feas=jnp.full_like(st.feas, jnp.inf),
                                stat=jnp.full_like(st.stat, jnp.inf),
                                n_iter=jnp.zeros_like(st.n_iter))
-            cA = cA_at(C, phase, p) if affine else None
-            st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
-                        outer_iter=outer_iter, cA=cA, Q=C.Q)
+            if compact is not None:
+                from ..ops.compact import resolve_phase
+                ct = resolve_phase(compact, C.CT, phase, p)
+                st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
+                            outer_iter=outer_iter, ct=ct)
+            else:
+                cA = cA_at(C, phase, p) if affine else None
+                st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
+                            outer_iter=outer_iter, cA=cA, Q=C.Q)
             # ideal plant update: state/input from the solved splines at the
             # next sample instant
             cfs = st.x[i_spl].reshape(n_coef, n_spl)

@@ -1,0 +1,149 @@
+"""Family-compacted solver path (ops/compact.py) vs the dense quadratic
+path: structural equivalence of g/J/grad/Hessian and end-to-end agreement
+of the batched rollout on the canonical p2p problem."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle, Square,
+                           Point2point)
+from omg_tools_tpu.ops.compact import (build_compact, resolve_phase,
+                                       CompactWork)
+
+
+@pytest.fixture(scope="module")
+def runner_pair():
+    veh = Holonomic()
+    veh.set_initial_conditions([-1.5, -1.5])
+    veh.set_terminal_conditions([2.0, 2.0])
+    env = Environment(room={"shape": Square(5.0)})
+    env.add_obstacle(Obstacle({"position": [0.5, 0.2], "velocity": [-0.2, 0]},
+                              shape=Circle(0.4)))
+    prob = Point2point(veh, env, freeT=False)
+    prob.set_options({"verbose": 0})
+    prob.init()
+    from omg_tools_tpu.problems.batch import BatchedP2PRunner
+    runner = BatchedP2PRunner(prob, dtype=jnp.float64)
+    return prob, runner
+
+
+def test_compact_structure_built(runner_pair):
+    prob, runner = runner_pair
+    assert runner.structure == "compact"
+    struct = runner.compact
+    tr = prob.transcription
+    m = len(np.asarray(tr.lb))
+    assert struct.m == m
+    assert sorted(struct.row_perm.tolist()) == list(range(m))
+    # compacted tensors are much smaller than the dense quadratic form
+    dense_bytes = runner._Q_raw.nbytes + sum(
+        v.nbytes for v in runner._affine_np.values())
+    assert struct.nbytes() < 0.35 * dense_bytes
+
+
+def test_compact_matches_dense_evals(runner_pair):
+    """g, J'y, and the GN Hessian agree (up to row permutation) with the
+    dense scaled formulation used by the quadratic path."""
+    prob, runner = runner_pair
+    tr = prob.transcription
+    struct = runner.compact
+    n = tr.n_x
+    m = struct.m
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(n) * 0.3)
+    # perturb only the parameters the affine model covers (vehicle state,
+    # goal, obstacle motion) -- t/T/shape data enter nonlinearly and stay
+    # at their base values during a rollout phase
+    p_np = prob.pack_parameters(0.0)
+    varying = [runner.i_state0, runner.i_input0]
+    sl, _ = tr.par_slice(prob.vehicles[0], "poseT")
+    varying.append(np.arange(sl.start, sl.stop))
+    for (ix, iv, ia) in runner.obstacle_idx:
+        varying.extend([ix, iv, ia])
+    varying = np.concatenate(varying)
+    p_np[varying] += rng.standard_normal(len(varying)) * 0.05
+    p = jnp.asarray(p_np)
+    d = np.asarray(prob._row_scale)
+    s_obj = prob._obj_scale
+
+    ct = resolve_phase(struct, struct.device_tensors(jnp.float64), 0, p)
+    work = CompactWork(struct, ct)
+    perm = struct.row_perm
+
+    # g
+    g_dense = d * np.asarray(tr.constraints(x, p))
+    g_comp = np.asarray(work.g(x))
+    np.testing.assert_allclose(g_comp, g_dense[perm], rtol=1e-8, atol=1e-8)
+
+    # f, gf
+    np.testing.assert_allclose(float(work.f(x)),
+                               s_obj * float(tr.objective(x, p)), rtol=1e-8)
+
+    # grad = gf + J' y
+    y = rng.standard_normal(m)
+    J_dense = d[:, None] * np.asarray(jax.jacfwd(tr.constraints)(x, p))
+    Jf = work.jacobians(x)
+    grad_comp = np.asarray(work.grad(Jf, jnp.asarray(y)))
+    grad_dense = s_obj * np.asarray(jax.grad(tr.objective)(x, p)) \
+        + J_dense[perm].T @ y
+    np.testing.assert_allclose(grad_comp, grad_dense, rtol=1e-7, atol=1e-7)
+
+    # Hessian rho J'DJ
+    act = (rng.random(m) > 0.4).astype(np.float64)
+    rho = 7.0
+    H_comp = np.asarray(work.hessian(Jf, jnp.asarray(act), rho, 0.0))
+    Jp = J_dense[perm]
+    H_dense = rho * (Jp * act[:, None]).T @ Jp
+    np.testing.assert_allclose(H_comp, H_dense, rtol=1e-7, atol=1e-7)
+
+    # line-search terms
+    dx = rng.standard_normal(n) * 0.1
+    Jd_comp = np.asarray(work.Jd(Jf, jnp.asarray(dx)))
+    np.testing.assert_allclose(Jd_comp, Jp @ dx, rtol=1e-7, atol=1e-8)
+    g2 = d * np.asarray(tr.constraints(jnp.asarray(np.asarray(x) + dx), p))
+    qd_comp = np.asarray(work.quad_dir(jnp.asarray(dx)))
+    # g(x+d) = g(x) + J d + d'Qd
+    np.testing.assert_allclose(g_comp + Jd_comp + qd_comp, g2[perm],
+                               rtol=1e-7, atol=1e-7)
+
+
+def test_compact_rollout_matches_dense(runner_pair):
+    """End-to-end: 3 MPC steps via the compact path vs the dense quadratic
+    path produce the same trajectories."""
+    prob, runner = runner_pair
+    B = 4
+    rng = np.random.default_rng(1)
+    starts = np.tile([-1.5, -1.5], (B, 1)) + rng.uniform(-0.2, 0.2, (B, 2))
+    goals = np.tile([2.0, 2.0], (B, 1)) + rng.uniform(-0.2, 0.2, (B, 2))
+    x0, p0, state = runner.make_batch(starts, goals)
+    consts = runner.consts()
+    st = runner.init_solver_state(x0, p0, consts)
+    roll = jax.jit(runner.rollout_fn(3, outer_iter=2))
+    carry_c, states_c = roll(st, p0, state, consts)
+
+    # force the dense path on a fresh runner
+    runner_d = type(runner)(prob, dtype=jnp.float64)
+    assert runner_d.structure == "compact"
+    runner_d.compact = None
+    runner_d.structure = "quadratic"
+    from omg_tools_tpu.ops.alm import make_alm_solver, ALMOptions
+    tr = prob.transcription
+    runner_d.solver = make_alm_solver(
+        tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub, ALMOptions(),
+        row_scale=prob._row_scale, obj_scale=prob._obj_scale,
+        quadratic_Q=runner_d._Q_raw)
+    runner_d.Q_dev = jnp.asarray(runner_d.solver.Q_scaled,
+                                 dtype=jnp.float64)
+    consts_d = runner_d.consts()
+    st_d = runner_d.init_solver_state(x0, p0, consts_d)
+    roll_d = jax.jit(runner_d.rollout_fn(3, outer_iter=2))
+    carry_d, states_d = roll_d(st_d, p0, state, consts_d)
+
+    np.testing.assert_allclose(np.asarray(states_c), np.asarray(states_d),
+                               rtol=1e-6, atol=1e-6)
+    # scenarios actually move toward their goals
+    d0 = np.linalg.norm(starts - goals, axis=1)
+    d1 = np.linalg.norm(np.asarray(states_c)[:, -1] - goals, axis=1)
+    assert np.all(d1 < d0)
