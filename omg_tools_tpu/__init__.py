@@ -52,7 +52,7 @@ from .environment.frame import Frame, ShiftFrame, CorridorFrame
 from .execution.simulator import Simulator, Deployer
 from .execution.plotlayer import PlotLayer
 from .export.export_p2p import ExportP2P
-from .export.export_formation import ExportFormation
+from .export.export_formation import ExportFormation, ExportADMM
 from .export.export_rendezvous import ExportRendezVous
 from .gui.gcode_reader import GCodeReader
 from .gui.gcode_block import GCodeBlock

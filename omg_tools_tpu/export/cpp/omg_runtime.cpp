@@ -234,6 +234,7 @@ void Point2Point::solve() {
         const double* Jk = &J_[static_cast<long>(k) * n_x_];
         for (int i = 0; i < n_x_; ++i) grad_[i] += Jk[i] * yhat_[k];
       }
+      addObjGrad(&grad_);
       // Gauss-Newton Hessian over active rows
       std::fill(H_.begin(), H_.end(), 0.0);
       double diag_max = 1.0;
@@ -246,6 +247,7 @@ void Point2Point::solve() {
             H_[static_cast<long>(i) * n_x_ + j] += rho_ * Jk[i] * Jk[j];
         }
       }
+      addObjHess(&H_);  // hook adds to the LOWER triangle (j <= i)
       for (int i = 0; i < n_x_; ++i)
         diag_max = std::max(diag_max, H_[static_cast<long>(i) * n_x_ + i]);
       double ridge = opt_.ridge_rel * diag_max + 1e-8;
@@ -286,8 +288,10 @@ void Point2Point::solve() {
       }
       double df = 0.0;
       for (int i = 0; i < n_x_; ++i) df += gf[i] * dx_[i];
+      std::vector<double> xa(n_x_);
       auto merit_at = [&](double a) {
-        double m = a * df;
+        for (int i = 0; i < n_x_; ++i) xa[i] = x_[i] + a * dx_[i];
+        double m = a * df + objExtraAt(xa);
         for (int k = 0; k < n_g_; ++k) {
           double g_a = gval_[k] + a * Jd[k] + a * a * qd[k];
           double r = g_a + lam_[k] / rho_;
@@ -361,6 +365,7 @@ bool Point2Point::update(const std::array<double, 2>& state0,
       xs[i] = s;
     }
     x_ = xs;
+    onKnotShift();
   }
   buildParams(state0, input0, goal, obstacles);
   buildAffine();

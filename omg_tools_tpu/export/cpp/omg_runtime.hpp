@@ -80,11 +80,25 @@ class Point2Point {
   // remaining horizon (de Boor evaluation).
   void sampleTrajectory(int n, std::vector<double>* xy) const;
 
+  virtual ~Point2Point() = default;
+
   void reset();
   double feasibility() const { return feas_; }
   int phase() const { return phase_; }
 
- private:
+ protected:
+  // Extra-objective hooks for distributed variants: the consensus-ADMM
+  // subclass adds lam'(s - z) + rho/2 ||s - z||^2 on the shared
+  // coefficients (reference admm.py:63-115 / ADMMPoint2Point.cpp).
+  virtual void addObjGrad(std::vector<double>* grad) { (void)grad; }
+  virtual void addObjHess(std::vector<double>* H) { (void)H; }
+  virtual double objExtraAt(const std::vector<double>& x) {
+    (void)x;
+    return 0.0;
+  }
+  // called when the warm start is shifted over a knot passage
+  virtual void onKnotShift() {}
+
   void buildParams(const std::array<double, 2>& state0,
                    const std::array<double, 2>& input0,
                    const std::array<double, 2>& goal,

@@ -63,7 +63,8 @@ class Export:
         data_dir = os.path.join(out, "data")
         os.makedirs(data_dir, exist_ok=True)
         tr = runner.tr
-        problem = self.problem
+        problem = runner.problem   # the runner's (local) problem -- for
+        # distributed exports self.problem is the multi-vehicle wrapper
         vehicle = problem.vehicles[0]
 
         manifest: Dict = {"arrays": {}, "scalars": {}}

@@ -15,6 +15,71 @@ from omg_tools_tpu.export.export_p2p import ExportP2P
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_export_formation_build_run():
+    """Two-phase distributed ADMM runtime: export, build, run the 4-agent
+    in-process ring harness (reference export/tests/formation/test.cpp)."""
+    import numpy as np
+    from omg_tools_tpu import Fleet, FormationPoint2point
+    from omg_tools_tpu.environment.shapes import RegularPolyhedron
+    N = 4
+    vehicles = [Holonomic() for _ in range(N)]
+    fleet = Fleet(vehicles)
+    configuration = RegularPolyhedron(0.4 * np.sqrt(2), N,
+                                      np.pi / 4).vertices.T
+    fleet.set_configuration(configuration.tolist())
+    fleet.set_initial_conditions(
+        (np.array([-1.5, -1.5]) + configuration).tolist())
+    fleet.set_terminal_conditions(
+        (np.array([2.0, 2.0]) + configuration).tolist())
+    env = Environment(room={"shape": Square(5.0)})
+    problem = FormationPoint2point(fleet, env,
+                                   options={"horizon_time": 10, "rho": 1.0})
+    problem.set_options({"verbose": 0})
+    problem.init()
+    out = tempfile.mkdtemp(prefix="omg_export_f_")
+    try:
+        problem.export({"directory": out}).run()
+        subprocess.run(["make", "formation"], cwd=out, check=True,
+                       capture_output=True)
+        res = subprocess.run(["./test_formation", "."], cwd=out, check=True,
+                             capture_output=True, text=True, timeout=600)
+        assert "PASSED" in res.stdout
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_export_rendezvous_build_run():
+    """Free-terminal consensus runtime (reference
+    export/tests/rendezvous/test.cpp)."""
+    import numpy as np
+    from omg_tools_tpu import Fleet, RendezVous
+    N = 4
+    vehicles = [Holonomic() for _ in range(N)]
+    fleet = Fleet(vehicles)
+    rel = np.array([[0.3, 0.3], [0.3, -0.3], [-0.3, -0.3], [-0.3, 0.3]])
+    fleet.set_configuration(rel.tolist())
+    starts = np.array([[-1.6, -1.6], [1.6, -1.6], [1.6, 1.6], [-1.6, 1.6]])
+    fleet.set_initial_conditions(starts.tolist())
+    fleet.set_terminal_conditions((starts * 0).tolist())
+    env = Environment(room={"shape": Square(5.0)})
+    problem = RendezVous(fleet, env, options={"horizon_time": 10,
+                                              "rho": 1.0})
+    problem.set_options({"verbose": 0})
+    problem.init()
+    out = tempfile.mkdtemp(prefix="omg_export_r_")
+    try:
+        problem.export({"directory": out}).run()
+        subprocess.run(["make", "rendezvous"], cwd=out, check=True,
+                       capture_output=True)
+        res = subprocess.run(["./test_rendezvous", "."], cwd=out, check=True,
+                             capture_output=True, text=True, timeout=600)
+        assert "PASSED" in res.stdout
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
 def test_export_build_run():
     vehicle = Holonomic()
     vehicle.set_initial_conditions([-1.5, -1.5])
