@@ -38,9 +38,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BATCH = int(os.environ.get("BENCH_BATCH", "4096"))
 N_STEPS = int(os.environ.get("BENCH_STEPS", "20"))
-# 2 outer ALM rounds (16 inner Newton iterations) reach the same
-# feasibility plateau as 4 in the warm-started receding-horizon regime
-OUTER_ITER = int(os.environ.get("BENCH_OUTER", "2"))
+# 1 outer ALM round (8 inner Newton iterations) reaches the same
+# feasibility/progress plateau as 2 or 4 in the warm-started receding-
+# horizon regime (tools/profile_rollout.py: identical progress and feas_p50,
+# feas_max 0.014 vs 0.012, at half the cost)
+OUTER_ITER = int(os.environ.get("BENCH_OUTER", "1"))
 
 
 def build_problem():

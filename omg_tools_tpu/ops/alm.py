@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .solver import BIG, gradient_row_scales
-from .pallas_kernels import psd_solve
+from .pallas_kernels import psd_solve, psd_solve_multi
 
 __all__ = ["ALMState", "ALMOptions", "make_alm_solver"]
 
@@ -274,6 +274,35 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         proj = jnp.clip(r, lb, ub)
         return 0.5 * rho * jnp.sum((r - proj) ** 2)
 
+    def arrow_newton_step(work, Jf, y_hat, active, rho):
+        """Block-arrow Newton solve (ops/compact.detect_arrow): factor each
+        tail block with the multi-RHS lane kernel, Schur-complement onto the
+        head, solve the head system, back-substitute.  ~20x fewer
+        factorization flops than the dense (n, n) Cholesky at bench sizes,
+        and the Schur products ride the MXU."""
+        S, D, C, r_h, r_b = work.arrow_system(Jf, y_hat, active, rho)
+        h = S.shape[0]
+        dt = S.dtype
+        diag_max = jnp.maximum(
+            jnp.max(jnp.abs(jnp.diagonal(S))),
+            jnp.max(jnp.abs(jnp.diagonal(D, axis1=1, axis2=2))))
+        ridge = opt.gn_delta_rel * jnp.maximum(diag_max, 1.0) + opt.delta
+        S = S + ridge * jnp.eye(h, dtype=dt)
+        D = D + ridge * jnp.eye(D.shape[1], dtype=dt)[None]
+        # W = D^-1 [C' | r_b]  -- one multi-RHS solve over all tail blocks
+        RHS = jnp.concatenate([jnp.swapaxes(C, 1, 2), r_b[:, :, None]],
+                              axis=2)                     # (k, b, h+1)
+        W = psd_solve_multi(D, RHS)                       # (k, b, h+1)
+        WC = W[:, :, :h]                                  # D^-1 C'
+        wr = W[:, :, h]                                   # D^-1 r_b
+        S_t = S - jnp.einsum("khb,kbg->hg", C, WC)
+        r_t = r_h - jnp.einsum("khb,kb->h", C, wr)
+        dx_h = psd_solve(S_t, r_t)
+        dx_b = wr - jnp.einsum("kbh,h->kb", WC, dx_h)
+        grad = work.arrow_scatter(r_h, r_b)
+        dx = -work.arrow_scatter(dx_h, dx_b)
+        return grad, dx
+
     def inner_step_compact(evals, x, lam, rho, lb, ub):
         """Compact-mode Newton step: per-family small einsums + slice
         assembly; the merit expansion along dx is exact (quadratic g)."""
@@ -281,13 +310,16 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         Jf = work.jacobians(x)
         gv = work.g_from_J(x, Jf)
         y_hat = multiplier_estimate(gv, lam, rho, lb, ub)
-        grad = work.grad(Jf, y_hat)
         active = (jnp.abs(y_hat) > 0.0).astype(x.dtype)
-        H0 = work.hessian(Jf, active, rho, 0.0)
-        scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H0))), 1.0)
-        H = H0 + (opt.gn_delta_rel * scale + opt.delta) \
-            * jnp.eye(n_x, dtype=x.dtype)
-        dx = -psd_solve(H, grad)
+        if compact is not None and compact.arrow is not None:
+            grad, dx = arrow_newton_step(work, Jf, y_hat, active, rho)
+        else:
+            grad = work.grad(Jf, y_hat)
+            H0 = work.hessian(Jf, active, rho, 0.0)
+            scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(H0))), 1.0)
+            H = H0 + (opt.gn_delta_rel * scale + opt.delta) \
+                * jnp.eye(n_x, dtype=x.dtype)
+            dx = -psd_solve(H, grad)
         dx = jnp.where(jnp.all(jnp.isfinite(dx)), dx, -grad
                        / jnp.maximum(jnp.linalg.norm(grad), 1.0))
         dx_norm = jnp.max(jnp.abs(dx), initial=0.0)

@@ -49,6 +49,23 @@ class FamilyStatic(NamedTuple):
     has_Q: bool
 
 
+class ArrowStatic(NamedTuple):
+    """Block-arrow partition of the variable space (see ``detect_arrow``).
+
+    head: (start, size) — the coupling variable block (vehicle splines);
+    blocks: ((start, size), ...) — pairwise-uncoupled tail blocks;
+    fam_segments: per family, a tuple of
+        (fam_col_off, size, target, tgt_off) segments mapping the family's
+        LOCAL column range [fam_col_off, fam_col_off+size) to target -1
+        (head, local offset tgt_off) or block index >= 0 (local tgt_off).
+    """
+    head: Tuple[int, int]
+    blocks: Tuple[Tuple[int, int], ...]
+    fam_segments: Tuple[Tuple[Tuple[int, int, int, int], ...], ...]
+    fam_block: Tuple[int, ...]   # the single block each family touches (-1: none)
+    b_max: int                   # padded tail-block size
+
+
 class CompactStructure:
     """Host-side compacted problem structure + device tensors.
 
@@ -59,7 +76,8 @@ class CompactStructure:
     """
 
     def __init__(self, families: List[FamilyStatic], row_perm: np.ndarray,
-                 tensors: dict, n_x: int, n_p: int):
+                 tensors: dict, n_x: int, n_p: int,
+                 arrow: Optional[ArrowStatic] = None):
         self.families = families
         self.row_perm = np.asarray(row_perm)
         self.inv_perm = np.argsort(self.row_perm)
@@ -67,6 +85,7 @@ class CompactStructure:
         self.n_x = n_x
         self.n_p = n_p
         self.m = len(self.row_perm)
+        self.arrow = arrow
 
     def device_tensors(self, dtype):
         """Device pytree (tuples/arrays only) to thread as a jit argument."""
@@ -113,9 +132,156 @@ def _runs_from_support(cols: np.ndarray, gap: int = 8,
     return tuple(runs)
 
 
+def detect_arrow(families: List[FamilyStatic], n: int,
+                 head: Tuple[int, int]) -> Optional[ArrowStatic]:
+    """Detect a block-arrow partition of the variable space.
+
+    ``head`` is the coupling block (the vehicle spline coefficients: every
+    constraint touches them).  The remaining variables (hyperplane
+    coefficients per obstacle, slack splines) split into tail blocks that
+    are pairwise uncoupled: each family's support must lie inside
+    head + (at most) one tail block.  Then the Gauss-Newton system is
+    block-arrow and the Newton step reduces to small per-block factorizations
+    plus a head-sized Schur solve (~20x fewer flops than the dense system at
+    bench sizes).  Returns None when the structure does not hold (the solver
+    falls back to the dense lane-batched Cholesky)."""
+    h0, h1 = head[0], head[0] + head[1]
+
+    def split_interval(s, e):
+        """Split [s, e) at the head boundaries -> (lo, head-part, hi)."""
+        parts = []
+        if s < h0:
+            parts.append((s, min(e, h0), False))
+        if max(s, h0) < min(e, h1):
+            parts.append((max(s, h0), min(e, h1), True))
+        if e > h1:
+            parts.append((max(s, h1), e, False))
+        return parts
+
+    # per-family non-head intervals
+    fam_tail: List[List[Tuple[int, int]]] = []
+    for fam in families:
+        tails = []
+        for (s, sz) in fam.runs:
+            for (a, b, in_head) in split_interval(s, s + sz):
+                if not in_head and b > a:
+                    tails.append((a, b))
+        fam_tail.append(tails)
+
+    # union-find over tail intervals: intervals of one family merge; then
+    # overlapping intervals across families merge
+    intervals = []
+    owner = []
+    for fi, tails in enumerate(fam_tail):
+        for (a, b) in tails:
+            intervals.append([a, b])
+            owner.append(fi)
+    parent = list(range(len(intervals)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(i, j):
+        parent[find(i)] = find(j)
+
+    for i in range(len(intervals)):
+        for j in range(i + 1, len(intervals)):
+            same_family = owner[i] == owner[j]
+            overlap = (intervals[i][0] < intervals[j][1]
+                       and intervals[j][0] < intervals[i][1])
+            if same_family or overlap:
+                union(i, j)
+    groups: dict = {}
+    for i in range(len(intervals)):
+        groups.setdefault(find(i), []).append(i)
+
+    # blocks = contiguous hulls of each group (internal gaps are variables
+    # no family touches -- absorbing them only adds ridge diagonal)
+    blocks = []
+    for members in groups.values():
+        lo = min(intervals[i][0] for i in members)
+        hi = max(intervals[i][1] for i in members)
+        blocks.append((lo, hi))
+    blocks.sort()
+    # hulls may have merged overlapping groups; coalesce
+    merged = []
+    for (lo, hi) in blocks:
+        if merged and lo < merged[-1][1]:
+            merged[-1] = (merged[-1][0], max(hi, merged[-1][1]))
+        else:
+            merged.append((lo, hi))
+    blocks = merged
+    # leftover variables untouched by any family -> own blocks (diag-only)
+    covered = np.zeros(n, dtype=bool)
+    covered[h0:h1] = True
+    for (lo, hi) in blocks:
+        if lo < h1 and hi > h0:
+            return None    # block overlaps head: not arrow
+        covered[lo:hi] = True
+    i = 0
+    while i < n:
+        if not covered[i]:
+            j = i
+            while j < n and not covered[j]:
+                j += 1
+            blocks.append((i, j))
+            i = j
+        else:
+            i += 1
+    blocks.sort()
+    if not blocks:
+        return None
+
+    def block_of(a, b):
+        for bi, (lo, hi) in enumerate(blocks):
+            if a >= lo and b <= hi:
+                return bi
+        return None
+
+    # per-family segment maps + single-block check
+    fam_segments = []
+    fam_block = []
+    for fam, tails in zip(families, fam_tail):
+        segs = []
+        blk = -1
+        off = 0
+        ok = True
+        for (s, sz) in fam.runs:
+            for (a, b, in_head) in split_interval(s, s + sz):
+                if b <= a:
+                    continue
+                if in_head:
+                    segs.append((off, b - a, -1, a - h0))
+                else:
+                    bi = block_of(a, b)
+                    if bi is None or (blk not in (-1, bi)):
+                        ok = False
+                        break
+                    blk = bi
+                    segs.append((off, b - a, bi, a - blocks[bi][0]))
+                off += b - a
+            if not ok:
+                break
+        if not ok:
+            return None
+        fam_segments.append(tuple(segs))
+        fam_block.append(blk)
+
+    b_max = max(hi - lo for (lo, hi) in blocks)
+    return ArrowStatic(
+        head=(h0, h1 - h0),
+        blocks=tuple((lo, hi - lo) for (lo, hi) in blocks),
+        fam_segments=tuple(fam_segments),
+        fam_block=tuple(fam_block),
+        b_max=int(b_max))
+
+
 def build_compact(con_blocks, Q, c0, C1, A0, TA, f0, gf,
                   row_scale=None, obj_scale=1.0, gap=8,
-                  tol=1e-12) -> CompactStructure:
+                  tol=1e-12, head=None) -> CompactStructure:
     """Build the compacted structure from dense host tensors.
 
     con_blocks: [(offset, rows)] from the transcription layout.
@@ -196,7 +362,11 @@ def build_compact(con_blocks, Q, c0, C1, A0, TA, f0, gf,
 
     tensors = {"c0": c0p, "C1": C1p, "f0": f0s, "gf": gfs,
                "A0c": A0c_list, "TAc": TAc_list, "Qc": Qc_list}
-    return CompactStructure(families, row_perm, tensors, n_x=n, n_p=n_p)
+    arrow = None
+    if head is not None:
+        arrow = detect_arrow(families, n, head)
+    return CompactStructure(families, row_perm, tensors, n_x=n, n_p=n_p,
+                            arrow=arrow)
 
 
 # -- runtime -----------------------------------------------------------------
@@ -301,6 +471,67 @@ class CompactWork:
                     offs_b += szb
                 offs_a += sza
         return H
+
+    def arrow_system(self, Jf, y, active, rho):
+        """Assemble the block-arrow Gauss-Newton system directly in block
+        form (no (n, n) buffer): returns
+            S (h, h), D (k, b, b), C (k, h, b), r_h (h,), r_b (k, b)
+        where [S, C; C', blockdiag(D)] [dx_h; dx_b] = [r_h; r_b] is the
+        (unregularized) Newton system and r is the FULL gradient gf + J'y
+        split into head/block pieces.  Tail blocks are padded to b_max with
+        unit diagonal."""
+        ar = self.struct.arrow
+        h0, h = ar.head
+        k = len(ar.blocks)
+        bm = ar.b_max
+        dt = Jf[0].dtype
+        S = jnp.zeros((h, h), dtype=dt)
+        D = [jnp.zeros((bm, bm), dtype=dt) for _ in range(k)]
+        C = [jnp.zeros((h, bm), dtype=dt) for _ in range(k)]
+        gf = self.ct["gf"]
+        r_h = jax.lax.dynamic_slice_in_dim(gf, h0, h)
+        r_b = [jnp.zeros((bm,), dtype=dt) for _ in range(k)]
+        for bi, (s, sz) in enumerate(ar.blocks):
+            r_b[bi] = r_b[bi].at[:sz].set(
+                jax.lax.dynamic_slice_in_dim(gf, s, sz))
+        for fam, segs, J in zip(self.struct.families, ar.fam_segments, Jf):
+            yv = self._rows(y, fam)
+            d = self._rows(active, fam) * rho
+            g_f = J.T @ yv                              # (n_f,)
+            H_f = J.T @ (d[:, None] * J)                # (n_f, n_f)
+            for (oa, sa, ta, pa) in segs:
+                gseg = jax.lax.dynamic_slice_in_dim(g_f, oa, sa)
+                if ta < 0:
+                    r_h = r_h.at[pa:pa + sa].add(gseg)
+                else:
+                    r_b[ta] = r_b[ta].at[pa:pa + sa].add(gseg)
+                for (ob, sb, tb, pb) in segs:
+                    if ta >= 0 and tb < 0:
+                        continue      # transpose of a (head, block) pair
+                    blk = jax.lax.dynamic_slice(H_f, (oa, ob), (sa, sb))
+                    if ta < 0 and tb < 0:
+                        S = S.at[pa:pa + sa, pb:pb + sb].add(blk)
+                    elif ta < 0:
+                        C[tb] = C[tb].at[pa:pa + sa, pb:pb + sb].add(blk)
+                    else:
+                        D[ta] = D[ta].at[pa:pa + sa, pb:pb + sb].add(blk)
+        # pad diagonals of the tail blocks stay positive definite
+        for bi, (s, sz) in enumerate(ar.blocks):
+            if sz < bm:
+                pad = jnp.concatenate([jnp.zeros(sz, dtype=dt),
+                                       jnp.ones(bm - sz, dtype=dt)])
+                D[bi] = D[bi] + jnp.diag(pad)
+        return (S, jnp.stack(D), jnp.stack(C), r_h, jnp.stack(r_b))
+
+    def arrow_scatter(self, dx_h, dx_b):
+        """Reassemble the full dx (n,) from head/block pieces."""
+        ar = self.struct.arrow
+        h0, h = ar.head
+        dx = jnp.zeros(self.struct.n_x, dtype=dx_h.dtype)
+        dx = dx.at[h0:h0 + h].set(dx_h)
+        for bi, (s, sz) in enumerate(ar.blocks):
+            dx = dx.at[s:s + sz].set(dx_b[bi, :sz])
+        return dx
 
     def Jd(self, Jf, dx):
         """J dx (m,) for the line search."""

@@ -31,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["psd_solve", "batched_psd_solve", "pallas_available"]
+__all__ = ["psd_solve", "batched_psd_solve", "psd_solve_multi",
+           "pallas_available"]
 
 _LANES = 128
 
@@ -112,6 +113,155 @@ def _solve_tile(H_t, g_t, interpret):
             transcendentals=int(n * _LANES)),
     )(H_t, g_t)
     return dx
+
+
+def _chol_solve_multi_kernel(H_hbm, G_ref, X_ref, L_ref, Z_ref, sem):
+    """Factor H (n, n, 128) and solve for X (n, r, 128) with r RHS.
+
+    Same lane-batched layout as :func:`_chol_solve_kernel`; the
+    substitutions carry an (n, r, 128) panel instead of a vector.  Used by
+    the block-arrow Newton step (ops/compact.detect_arrow), where each tail
+    block needs D^-1 [C' | r] -- head-size + 1 right-hand sides."""
+    n = H_hbm.shape[0]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)   # (n, 1)
+
+    copy = pltpu.make_async_copy(H_hbm, L_ref, sem)
+    copy.start()
+    copy.wait()
+
+    def chol_step(j, _):
+        diag = L_ref[pl.ds(j, 1), pl.ds(j, 1), :]           # (1, 1, 128)
+        inv = jax.lax.rsqrt(diag[0])                        # (1, 128)
+        col = L_ref[:, pl.ds(j, 1), :][:, 0, :] * inv       # (n, 128)
+        col = jnp.where(row_iota >= j, col, 0.0)
+        L_ref[:, pl.ds(j, 1), :] = col[:, None, :]
+        strict = jnp.where(row_iota > j, col, 0.0)
+        L_ref[:, :, :] = L_ref[:, :, :] \
+            - strict[:, None, :] * strict[None, :, :]
+        return 0
+
+    jax.lax.fori_loop(0, n, chol_step, 0)
+
+    # forward substitution: L Z = G, panel at a time
+    def fwd_step(i, _):
+        row = L_ref[pl.ds(i, 1), :, :][0]                   # (n, 128)
+        mask = (row_iota < i).astype(row.dtype)             # (n, 1)
+        w = (row * mask)[:, None, :]                        # (n, 1, 128)
+        acc = jnp.sum(w * Z_ref[:, :, :], axis=0,
+                      keepdims=True)                        # (1, r, 128)
+        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]        # (1, 128)
+        Z_ref[pl.ds(i, 1), :, :] = (G_ref[pl.ds(i, 1), :, :] - acc) \
+            / diag[None, :, :]
+        return 0
+
+    Z_ref[:, :, :] = jnp.zeros_like(Z_ref)
+    jax.lax.fori_loop(0, n, fwd_step, 0)
+
+    # backward substitution: L^T X = Z
+    def bwd_step(t, _):
+        i = n - 1 - t
+        colT = L_ref[:, pl.ds(i, 1), :][:, 0, :]            # (n, 128)
+        mask = (row_iota > i).astype(colT.dtype)
+        w = (colT * mask)[:, None, :]                       # (n, 1, 128)
+        acc = jnp.sum(w * X_ref[:, :, :], axis=0,
+                      keepdims=True)                        # (1, r, 128)
+        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]
+        X_ref[pl.ds(i, 1), :, :] = (Z_ref[pl.ds(i, 1), :, :] - acc) \
+            / diag[None, :, :]
+        return 0
+
+    X_ref[:, :, :] = jnp.zeros_like(X_ref)
+    jax.lax.fori_loop(0, n, bwd_step, 0)
+
+
+def _solve_multi_tile(H_t, G_t, interpret):
+    """One (n, n, 128) x (n, r, 128) tile: returns X (n, r, 128)."""
+    n = H_t.shape[0]
+    r = G_t.shape[1]
+    X = pl.pallas_call(
+        _chol_solve_multi_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, r, _LANES), G_t.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((n, n, _LANES), H_t.dtype),
+                        pltpu.VMEM((n, r, _LANES), G_t.dtype),
+                        pltpu.SemaphoreType.DMA],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * (n ** 3 + 2 * n * n * r) * _LANES),
+            bytes_accessed=int(4 * n * (n + 2 * r) * _LANES),
+            transcendentals=int(n * _LANES)),
+    )(H_t, G_t)
+    return X
+
+
+def batched_psd_solve_multi(H, G, interpret=None):
+    """Solve H[b] X[b] = G[b] for a batch of SPD systems with r RHS each.
+
+    H: (N, n, n), G: (N, n, r).  Pads n and r to sublane multiples, N to the
+    lane tile, and runs the fused multi-RHS Cholesky kernel per tile."""
+    H = jnp.asarray(H)
+    G = jnp.asarray(G)
+    N, n, r = G.shape[0], G.shape[1], G.shape[2]
+    if interpret is None:
+        interpret = not _is_tpu_backend()
+    n_pad = int(-(-n // 8) * 8)
+    r_pad = int(-(-r // 8) * 8)
+    N_pad = int(-(-N // _LANES) * _LANES)
+    eye_tail = jnp.eye(n_pad, dtype=H.dtype)[None, n:, :]
+    Hp = jnp.zeros((N_pad, n_pad, n_pad), dtype=H.dtype)
+    Hp = Hp.at[:N, :n, :n].set(H)
+    Hp = Hp.at[:, n:, :].set(jnp.broadcast_to(eye_tail,
+                                              (N_pad, n_pad - n, n_pad)))
+    Hp = Hp.at[N:].set(jnp.eye(n_pad, dtype=H.dtype)[None])
+    Gp = jnp.zeros((N_pad, n_pad, r_pad), dtype=G.dtype)
+    Gp = Gp.at[:N, :n, :r].set(G)
+
+    Ht = jnp.moveaxis(Hp, 0, -1)          # (n_pad, n_pad, N_pad)
+    Gt = jnp.moveaxis(Gp, 0, -1)          # (n_pad, r_pad, N_pad)
+
+    tiles = N_pad // _LANES
+    if tiles == 1:
+        X_t = _solve_multi_tile(Ht, Gt, interpret)
+    else:
+        Ht = Ht.reshape(n_pad, n_pad, tiles, _LANES)
+        Gt = Gt.reshape(n_pad, r_pad, tiles, _LANES)
+        X_tiles = jax.lax.map(
+            lambda args: _solve_multi_tile(args[0], args[1], interpret),
+            (jnp.moveaxis(Ht, 2, 0), jnp.moveaxis(Gt, 2, 0)))
+        X_t = jnp.moveaxis(X_tiles, 0, 2).reshape(n_pad, r_pad, N_pad)
+    X = jnp.moveaxis(X_t, -1, 0)[:N, :n, :r]
+    return X
+
+
+@jax.custom_batching.custom_vmap
+def psd_solve_multi(D, G):
+    """Solve the SPD systems D[k] X[k] = G[k] (k small tail blocks, r RHS).
+
+    Unbatched: XLA Cholesky per block.  Under vmap on a TPU backend the
+    (batch, k) axes flatten into the lane dimension of the fused multi-RHS
+    Pallas kernel."""
+    return jax.vmap(lambda Di, Gi: jax.scipy.linalg.cho_solve(
+        jax.scipy.linalg.cho_factor(Di), Gi))(D, G)
+
+
+@psd_solve_multi.def_vmap
+def _psd_solve_multi_vmap_rule(axis_size, in_batched, D, G):
+    D_b, G_b = in_batched
+    if not D_b:
+        D = jnp.broadcast_to(D, (axis_size,) + D.shape)
+    if not G_b:
+        G = jnp.broadcast_to(G, (axis_size,) + G.shape)
+    B, k = D.shape[0], D.shape[1]
+    Df = D.reshape((B * k,) + D.shape[2:])
+    Gf = G.reshape((B * k,) + G.shape[2:])
+    if _is_tpu_backend():
+        Xf = batched_psd_solve_multi(Df, Gf, interpret=False)
+    else:
+        Xf = jax.vmap(lambda Di, Gi: jax.scipy.linalg.cho_solve(
+            jax.scipy.linalg.cho_factor(Di), Gi))(Df, Gf)
+    return Xf.reshape(D.shape[0], k, G.shape[2], G.shape[3]), True
 
 
 def _is_tpu_backend():

@@ -58,10 +58,11 @@ class CompactConsts(NamedTuple):
 
 class BatchedP2PRunner:
 
-    def __init__(self, problem, dtype=jnp.float32):
+    def __init__(self, problem, dtype=jnp.float32, alm_options=None):
         """problem: an initialized FixedTPoint2point instance (its
         transcription/solver are reused; the host problem object is not
-        mutated)."""
+        mutated).  ``alm_options``: optional :class:`ops.alm.ALMOptions`
+        override for the rollout solver (iteration budget tuning)."""
         self.problem = problem
         self.dtype = dtype
         tr = problem.transcription
@@ -159,12 +160,18 @@ class BatchedP2PRunner:
                 con_blocks, self._Q_raw, an["c0"], an["C1"], an["A0"],
                 an["TA"], an["f0"], an["gf"],
                 row_scale=problem._row_scale,
-                obj_scale=problem._obj_scale)
+                obj_scale=problem._obj_scale,
+                # head of the block-arrow partition: the vehicle spline
+                # coefficients (every constraint family touches them)
+                head=(int(self.i_splines[0]), len(self.i_splines)))
             self.structure = "compact"
+            if self.compact.arrow is not None:
+                self.structure = "compact-arrow"
 
         self.solver = make_alm_solver(
             tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
-            ALMOptions(), row_scale=problem._row_scale,
+            alm_options if alm_options is not None else ALMOptions(),
+            row_scale=problem._row_scale,
             obj_scale=problem._obj_scale,
             quadratic_Q=None if self.compact is not None else Q,
             compact=self.compact)

@@ -31,7 +31,7 @@ def runner_pair():
 
 def test_compact_structure_built(runner_pair):
     prob, runner = runner_pair
-    assert runner.structure == "compact"
+    assert runner.structure in ("compact", "compact-arrow")
     struct = runner.compact
     tr = prob.transcription
     m = len(np.asarray(tr.lb))
@@ -125,7 +125,7 @@ def test_compact_rollout_matches_dense(runner_pair):
 
     # force the dense path on a fresh runner
     runner_d = type(runner)(prob, dtype=jnp.float64)
-    assert runner_d.structure == "compact"
+    assert runner_d.structure in ("compact", "compact-arrow")
     runner_d.compact = None
     runner_d.structure = "quadratic"
     from omg_tools_tpu.ops.alm import make_alm_solver, ALMOptions
@@ -147,3 +147,76 @@ def test_compact_rollout_matches_dense(runner_pair):
     d0 = np.linalg.norm(starts - goals, axis=1)
     d1 = np.linalg.norm(np.asarray(states_c)[:, -1] - goals, axis=1)
     assert np.all(d1 < d0)
+
+
+def test_arrow_structure_detected(runner_pair):
+    """The canonical p2p transcription is block-arrow: head = vehicle
+    splines, tail blocks = per-obstacle hyperplane coeffs + terminal
+    slack."""
+    prob, runner = runner_pair
+    assert runner.structure == "compact-arrow"
+    ar = runner.compact.arrow
+    assert ar is not None
+    h0, h = ar.head
+    assert (h0, h) == (int(runner.i_splines[0]), len(runner.i_splines))
+    # blocks tile the non-head variables exactly
+    covered = np.zeros(runner.n_x, dtype=bool)
+    covered[h0:h0 + h] = True
+    for (s, sz) in ar.blocks:
+        assert not covered[s:s + sz].any()
+        covered[s:s + sz] = True
+    assert covered.all()
+    # every family touches at most one tail block
+    assert len(ar.fam_block) == len(runner.compact.families)
+
+
+def test_arrow_system_matches_dense(runner_pair):
+    """S/D/C assembly reconstructs the dense GN Hessian and gradient."""
+    prob, runner = runner_pair
+    struct = runner.compact
+    ar = struct.arrow
+    tr = prob.transcription
+    n = tr.n_x
+    m = struct.m
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal(n) * 0.3)
+    p = jnp.asarray(prob.pack_parameters(0.0))
+    ct = resolve_phase(struct, struct.device_tensors(jnp.float64), 0, p)
+    work = CompactWork(struct, ct)
+    Jf = work.jacobians(x)
+    y = jnp.asarray(rng.standard_normal(m))
+    act = jnp.asarray((rng.random(m) > 0.4).astype(np.float64))
+    rho = 5.0
+
+    S, D, C, r_h, r_b = work.arrow_system(Jf, y, act, rho)
+    grad_arrow = np.asarray(work.arrow_scatter(r_h, r_b))
+    grad_dense = np.asarray(work.grad(Jf, y))
+    np.testing.assert_allclose(grad_arrow, grad_dense, rtol=1e-9, atol=1e-9)
+
+    H_dense = np.asarray(work.hessian(Jf, act, rho, 0.0))
+    h0, h = ar.head
+    H_rec = np.zeros((n, n))
+    S = np.asarray(S)
+    D = np.asarray(D)
+    C = np.asarray(C)
+    H_rec[h0:h0 + h, h0:h0 + h] = S
+    for bi, (s, sz) in enumerate(ar.blocks):
+        # pad diag (ones) lives outside [:sz, :sz]
+        H_rec[s:s + sz, s:s + sz] = D[bi, :sz, :sz]
+        H_rec[h0:h0 + h, s:s + sz] = C[bi, :, :sz]
+        H_rec[s:s + sz, h0:h0 + h] = C[bi, :, :sz].T
+    np.testing.assert_allclose(H_rec, H_dense, rtol=1e-9, atol=1e-9)
+
+
+def test_psd_solve_multi_cpu_fallback():
+    rng = np.random.default_rng(0)
+    B, k, n, r = 3, 4, 11, 6
+    A = rng.standard_normal((B, k, n, n))
+    D = np.einsum("bkij,bklj->bkil", A, A) + 5 * np.eye(n)
+    G = rng.standard_normal((B, k, n, r))
+    from omg_tools_tpu.ops.pallas_kernels import psd_solve_multi
+    got = np.asarray(jax.vmap(psd_solve_multi)(jnp.asarray(D),
+                                               jnp.asarray(G)))
+    want = np.stack([[np.linalg.solve(D[b, j], G[b, j]) for j in range(k)]
+                     for b in range(B)])
+    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)

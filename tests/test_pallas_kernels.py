@@ -57,3 +57,17 @@ def test_psd_solve_under_jit_and_scan():
     want = np.stack([np.linalg.solve(H[b], g[b]) for b in range(4)])
     np.testing.assert_allclose(np.asarray(run(Hj, gj)), want,
                                atol=5e-5 * np.max(np.abs(want)))
+
+
+@pytest.mark.parametrize("B,n,r", [(3, 8, 4), (5, 23, 11), (130, 17, 9)])
+def test_batched_psd_solve_multi_interpret(B, n, r):
+    from omg_tools_tpu.ops.pallas_kernels import batched_psd_solve_multi
+    rng = np.random.default_rng(1)
+    A = rng.standard_normal((B, n, n)).astype(np.float32)
+    H = np.einsum("bij,bkj->bik", A, A) + 3 * np.eye(n, dtype=np.float32)
+    G = rng.standard_normal((B, n, r)).astype(np.float32)
+    want = np.stack([np.linalg.solve(H[b], G[b]) for b in range(B)])
+    got = np.asarray(batched_psd_solve_multi(jnp.asarray(H), jnp.asarray(G),
+                                             interpret=True))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=5e-5 * scale)
