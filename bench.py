@@ -104,6 +104,46 @@ def main():
     d1 = np.linalg.norm(states[:, -1] - goals, axis=1)
     progress_frac = float(np.mean((d0 - d1) / d0))
     feas = np.asarray(carry[0].feas)
+    feas_raw = np.asarray(carry[0].feas_raw)
+
+    # -- parity gate: scenario 0 of the timing batch vs the independent CPU
+    # reference solver running the identical rollout scheme (tools/parity).
+    # The reference trajectory is cached per problem fingerprint, so repeat
+    # bench invocations skip the (slow, host-side) reference solves.
+    parity = {"parity_max_err": None, "parity_ok": False}
+    if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
+        parity_steps = min(N_STEPS, 20)
+        from omg_tools_tpu.utils import cache as _cache
+        import hashlib
+        x0_np = np.asarray(x0[0], np.float64)
+        p0_np = np.asarray(p0[0], np.float64)
+        h = hashlib.sha256()
+        h.update(x0_np.tobytes())
+        h.update(p0_np.tobytes())
+        h.update(np.asarray([parity_steps]).tobytes())
+        pkey = f"{runner._cache_key}_parity_{h.hexdigest()[:12]}"
+        hit = _cache.load_tensors(pkey, "refroll")
+        if hit is not None:
+            ref_states = hit["states"]
+            ref_feas_max = float(hit["feas_max"])
+        else:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from parity import _reference_rollout
+            ref_states, _, ref_feas = _reference_rollout(
+                runner, x0_np, p0_np, parity_steps)
+            ref_feas_max = float(np.max(ref_feas))
+            _cache.store_tensors(pkey, "refroll",
+                                 {"states": ref_states,
+                                  "feas_max": np.asarray(ref_feas_max)})
+        err = float(np.max(np.abs(states[0, :parity_steps] - ref_states)))
+        parity = {
+            "parity_max_err": round(err, 4),
+            "parity_ref_feas_max": ref_feas_max,
+            # tolerance: 5 cm deviation over the ~4 m closed-loop trajectory
+            "parity_ok": bool(err < 0.05 and ref_feas_max < 1e-3
+                              and float(np.max(feas_raw)) < 1e-3),
+        }
 
     print(json.dumps({
         "metric": "p2p_holonomic_mpc_solves_per_s_per_chip",
@@ -117,11 +157,14 @@ def main():
         "mean_progress_frac": round(progress_frac, 3),
         "feas_p50": float(np.median(feas)),
         "feas_max": float(np.max(feas)),
+        "feas_raw_p50": float(np.median(feas_raw)),
+        "feas_raw_max": float(np.max(feas_raw)),
         "n_iter_p50": float(np.median(np.asarray(carry[0].n_iter))),
         "n_iter_max": int(np.max(np.asarray(carry[0].n_iter))),
         "setup_s": round(setup_s, 1),
         "structure": runner.structure,
         "affine_cA": bool(runner.affine_cA),
+        **parity,
     }))
 
 

@@ -21,7 +21,7 @@ from .shapes import Circle, Rectangle, Square
 from ..utils.geometry import (circle_polyhedron_intersect, point_in_rectangle,
                               rectangles_overlap)
 
-__all__ = ["Frame", "ShiftFrame", "CorridorFrame"]
+__all__ = ["Frame", "ShiftFrame", "CorridorFrame", "create_l_shape"]
 
 
 class Frame:
@@ -108,6 +108,60 @@ class Frame:
 
     def waypoints_in_frame(self, path):
         return [p for p in path if self.point_in_frame(p)]
+
+    def moving_ids(self):
+        """Identity set of the in-frame moving obstacles (used to detect
+        membership changes that force a frame rebuild, reference
+        schedulerproblem.py:138-209)."""
+        return set(id(o) for o in self.moving_obstacles)
+
+    def overlap_with(self, other: "Frame"):
+        """Overlap rectangle [xmin, ymin, xmax, ymax] with another frame, or
+        None (the frame-switch region, reference schedulerproblem.py:409-431)."""
+        b1, b2 = self.border, other.border
+        xmin, ymin = max(b1[0], b2[0]), max(b1[1], b2[1])
+        xmax, ymax = min(b1[2], b2[2]), min(b1[3], b2[3])
+        if xmin >= xmax or ymin >= ymax:
+            return None
+        return [xmin, ymin, xmax, ymax]
+
+    def fix_endpoint_reachability(self, vehicle_size=0.2, margin=0.1):
+        """Move the frame's local goal back along the global path until it
+        is not inside (the inflation of) any in-frame obstacle (reference
+        frame.py:212+ 'last waypoint reachability fixes')."""
+        if not hasattr(self, "goal"):
+            return
+        obstacles = self.stationary_obstacles + self.moving_obstacles \
+            or self.environment.obstacles
+
+        def blocked(p):
+            for obs in obstacles:
+                pos = obs.signals["position"][:2, -1]
+                chck, rad = obs.shape.get_checkpoints()
+                infl = float(np.max(rad)) + vehicle_size + margin
+                lo = np.min(np.asarray(chck), axis=0) + pos - infl
+                hi = np.max(np.asarray(chck), axis=0) + pos + infl
+                if np.all(p >= lo[:2]) and np.all(p <= hi[:2]):
+                    return True
+            return False
+
+        if not blocked(self.goal):
+            return
+        candidates = []
+        if self.global_path is not None:
+            candidates = [np.asarray(w, dtype=np.float64)
+                          for w in self.waypoints_in_frame(self.global_path)]
+        for w in reversed(candidates):
+            if not blocked(w):
+                self.goal = w
+                return
+        # fall back: walk from the endpoint toward the frame start
+        start = getattr(self, "start", self.center)
+        for alpha in np.linspace(0.1, 1.0, 10):
+            p = (1 - alpha) * np.asarray(self.goal) + alpha * np.asarray(start)
+            if not blocked(p):
+                self.goal = p
+                return
 
 
 class ShiftFrame(Frame):
@@ -196,3 +250,40 @@ class CorridorFrame(Frame):
         goal = np.asarray(goal, dtype=np.float64)
         self.goal = goal if self.point_in_frame(goal) else \
             ShiftFrame._endpoint(self, goal)
+
+
+def create_l_shape(environment, start, goal, global_path, margin=0.2,
+                   step=0.1):
+    """Two overlapping corridor frames covering an L-shaped path piece
+    (reference frame.py:777 ``create_l_shape``): the first corridor grows
+    around the path start; if the global path exits it before reaching the
+    goal (the corridor hit a corner), a second corridor grows from the exit
+    waypoint along the remaining path.  Returns [frame] or [frame1, frame2].
+    """
+    frame1 = CorridorFrame(environment, start, goal,
+                           global_path=global_path, margin=margin, step=step)
+    if frame1.point_in_frame(goal):
+        return [frame1]
+    path = [np.asarray(p, dtype=np.float64) for p in (global_path or [])]
+    # first waypoint OUTSIDE frame1 marks the corner; the second corridor
+    # starts at the last inside waypoint so the frames overlap
+    exit_idx = None
+    for k, p in enumerate(path):
+        if not frame1.point_in_frame(p):
+            exit_idx = k
+            break
+    if exit_idx is None or exit_idx == 0:
+        return [frame1]
+    corner = path[exit_idx - 1]
+    frame2 = CorridorFrame(environment, corner, goal,
+                           global_path=path[exit_idx - 1:],
+                           margin=margin, step=step)
+    if frame1.overlap_with(frame2) is None:
+        # disjoint corridors can't hand off; grow frame2 from inside frame1
+        frame2 = CorridorFrame(environment,
+                               0.5 * (corner + np.asarray(frame1.center)),
+                               goal, global_path=path[max(exit_idx - 2, 0):],
+                               margin=margin, step=step)
+        if frame1.overlap_with(frame2) is None:
+            return [frame1]
+    return [frame1, frame2]

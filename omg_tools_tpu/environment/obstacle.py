@@ -149,6 +149,12 @@ class Obstacle(OptiChild):
                 self.define_constraint(con, -BIG, 0.0)
 
     def set_parameters(self, current_time):
+        src = getattr(self, "source", None)
+        if src is not None:
+            # template-slot delegation: this obstacle is a compiled-problem
+            # slot re-targeted at a live obstacle (scheduler frame reuse) --
+            # all runtime parameters come from the source object
+            return {self: src.set_parameters(current_time)[src]}
         parameters = {self: {}}
         if not self.options["spline_traj"]:
             parameters[self]["x"] = self.signals["position"][:, -1]

@@ -62,6 +62,7 @@ class ALMState(NamedTuple):
     feas: jax.Array     # () constraint violation (inf-norm, scaled)
     stat: jax.Array     # () stationarity residual (inf-norm, scaled)
     n_iter: jax.Array   # () total inner iterations applied
+    feas_raw: Optional[jax.Array] = None  # () violation in RAW units
 
     @property
     def kkt_err(self):  # drop-in compatibility with IPState consumers
@@ -133,8 +134,10 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
 
     row_perm = None if compact is None else np.asarray(compact.row_perm)
 
+    inv_d_np = None
     if row_scale is not None:
         d_np = np.asarray(row_scale, dtype=np.float64)
+        inv_d_np = 1.0 / d_np if row_perm is None else 1.0 / d_np[row_perm]
         f_raw, g_raw = f, g
 
         def f(x, p):
@@ -431,15 +434,15 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                              + zero0,
                              feas=jnp.asarray(jnp.inf, dtype=dtype) + zero0,
                              stat=jnp.asarray(jnp.inf, dtype=dtype) + zero0,
-                             n_iter=jnp.asarray(0) + zero0.astype(jnp.int32))
+                             n_iter=jnp.asarray(0) + zero0.astype(jnp.int32),
+                             feas_raw=jnp.asarray(jnp.inf, dtype=dtype)
+                             + zero0)
         else:
-            state = state0._replace(x=x0,
-                                    feas=jnp.full_like(state0.feas, jnp.inf)
-                                    + zero0,
-                                    stat=jnp.full_like(state0.stat, jnp.inf)
-                                    + zero0,
+            inf0 = jnp.full_like(state0.feas, jnp.inf) + zero0
+            state = state0._replace(x=x0, feas=inf0, stat=inf0,
                                     n_iter=jnp.zeros_like(state0.n_iter)
-                                    + zero0.astype(state0.n_iter.dtype))
+                                    + zero0.astype(state0.n_iter.dtype),
+                                    feas_raw=inf0)
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
         if ct is not None:
@@ -459,7 +462,16 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                  + st.x[..., 0] * 0))
             gv = evals["g"](x_n)
             y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
-            feas_n = violation(gv, lb, ub)
+            viol_rows = jnp.maximum(lb - gv, 0.0) + jnp.maximum(gv - ub, 0.0)
+            feas_n = jnp.max(viol_rows, initial=0.0)
+            # raw-unit (unscaled) violation: the honest feasibility number
+            # reported by the bench / compared against the reference solver
+            if inv_d_np is not None:
+                feas_raw_n = jnp.max(
+                    viol_rows * jnp.asarray(inv_d_np, dtype=gv.dtype),
+                    initial=0.0)
+            else:
+                feas_raw_n = feas_n
             # multiplier update every outer round; penalty grows only when
             # feasibility stalls (gating the lam update as well -- LANCELOT
             # style -- proved harmful with truncated inner solves)
@@ -470,7 +482,8 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                               jnp.minimum(st.rho * opt.rho_growth,
                                           opt.rho_max))
             return ALMState(x=x_n, lam=lam_n, rho=rho_n, feas=feas_n,
-                            stat=stat, n_iter=st.n_iter + opt.inner_iter)
+                            stat=stat, n_iter=st.n_iter + opt.inner_iter,
+                            feas_raw=feas_raw_n)
 
         def cond(st):
             done = (st.feas < opt.feas_tol) & (st.stat < opt.tol)

@@ -101,6 +101,9 @@ class CompactStructure:
                 "C1": jnp.asarray(t["C1"], dtype=dtype),
                 "f0": jnp.asarray(t["f0"], dtype=dtype),
                 "gf": jnp.asarray(t["gf"], dtype=dtype),
+                "pcols": jnp.asarray(t.get("pcols",
+                                           np.arange(t["C1"].shape[-1])),
+                                     dtype=jnp.int32),
                 "fams": fams}
 
     def nbytes(self):
@@ -281,16 +284,20 @@ def detect_arrow(families: List[FamilyStatic], n: int,
 
 def build_compact(con_blocks, Q, c0, C1, A0, TA, f0, gf,
                   row_scale=None, obj_scale=1.0, gap=8,
-                  tol=1e-12, head=None) -> CompactStructure:
+                  tol=1e-12, head=None, p_cols=None) -> CompactStructure:
     """Build the compacted structure from dense host tensors.
 
     con_blocks: [(offset, rows)] from the transcription layout.
     Q: (m, n, n) or None rows allowed; c0/C1/A0/TA with leading phase axis
     (spk, ...); TA may be None (A constant in p).
+    p_cols: full-p indices of the columns C1/TA are restricted to (the
+    varying parameters); default = all of p.
     """
     A0 = np.asarray(A0)
     spk, m, n = A0.shape
-    n_p = np.asarray(C1).shape[-1]
+    n_pc = np.asarray(C1).shape[-1]
+    p_cols = np.arange(n_pc) if p_cols is None else np.asarray(p_cols)
+    n_p = int(p_cols.max()) + 1 if len(p_cols) else 0
     Q = None if Q is None else np.asarray(Q)
     TA = None if TA is None else np.asarray(TA)
 
@@ -353,7 +360,8 @@ def build_compact(con_blocks, Q, c0, C1, A0, TA, f0, gf,
                 Qc = np.ascontiguousarray(Qf[:, cols, :][:, :, cols])
         families.append(FamilyStatic(
             row_start=row_off, row_stop=row_off + m_f, runs=runs,
-            qcols=tuple(int(q) for q in (qnz if TAc is not None else ())),
+            qcols=tuple(int(p_cols[q])
+                        for q in (qnz if TAc is not None else ())),
             has_Q=Qc is not None))
         A0c_list.append(A0c)
         TAc_list.append(TAc)
@@ -361,6 +369,7 @@ def build_compact(con_blocks, Q, c0, C1, A0, TA, f0, gf,
         row_off += m_f
 
     tensors = {"c0": c0p, "C1": C1p, "f0": f0s, "gf": gfs,
+               "pcols": np.asarray(p_cols, dtype=np.int32),
                "A0c": A0c_list, "TAc": TAc_list, "Qc": Qc_list}
     arrow = None
     if head is not None:
@@ -376,7 +385,7 @@ def resolve_phase(struct: CompactStructure, dt_tensors, phase, p):
     p -- vmap lifts the batch axis).  Returns the ``ct`` argument for the
     compact ALM evaluator: full-row constants plus per-family A matrices."""
     c = jnp.take(dt_tensors["c0"], phase, axis=0) \
-        + jnp.take(dt_tensors["C1"], phase, axis=0) @ p
+        + jnp.take(dt_tensors["C1"], phase, axis=0) @ p[dt_tensors["pcols"]]
     f0 = jnp.take(dt_tensors["f0"], phase, axis=0)
     gfv = jnp.take(dt_tensors["gf"], phase, axis=0)
     Af, Qf = [], []

@@ -44,13 +44,17 @@ def make_mesh_dual_update(admm_problem, mesh: Mesh, axis: str = "fleet",
     axis size."""
     ap = admm_problem
     assert ap.N > 2, "mesh path expects the N>2 circular layout"
-    tmpl = ap.template
+    assert len(ap.groups) == 1, "mesh path expects a homogeneous fleet"
+    group = ap.groups[0]
+    tmpl = group.template
     solver = tmpl._solver
-    lb = jnp.asarray(np.asarray(ap._lbj))
-    ub = jnp.asarray(np.asarray(ap._ubj))
+    lb = jnp.asarray(np.asarray(group.lb))
+    ub = jnp.asarray(np.asarray(group.ub))
     rho = ap.rho
-    S_idx = jnp.asarray(ap.S_idx)
-    z_proj = jnp.asarray(ap.z_proj)
+    S_idx = jnp.asarray(group.S_idx)
+    # consensus algebra at t0 = 0 (identity future-piece transform): the
+    # mesh path advances whole knot intervals in the init phase
+    z_proj = jnp.asarray(ap._projection_for(None))
     rel = jnp.asarray(np.stack([ap._rel_offsets(i) for i in range(ap.N)]))
     n_dev = mesh.shape[axis]
     assert ap.N % n_dev == 0, "fleet size must divide the mesh axis"

@@ -40,8 +40,6 @@ class RolloutConsts(NamedTuple):
     lb: jax.Array
     ub: jax.Array
     M: jax.Array                # shiftoverknot warm-start transform
-    E0: jax.Array               # spline sampling matrices on the tau grid
-    E1: jax.Array
 
 
 class CompactConsts(NamedTuple):
@@ -52,8 +50,6 @@ class CompactConsts(NamedTuple):
     lb: jax.Array
     ub: jax.Array
     M: jax.Array
-    E0: jax.Array
-    E1: jax.Array
 
 
 class BatchedP2PRunner:
@@ -114,8 +110,6 @@ class BatchedP2PRunner:
             return np.arange(sl.start, sl.stop), shape
 
         self.i_t, _ = idx(problem, "t")
-        self.i_state0, _ = idx(vehicle, "state0")
-        self.i_input0, _ = idx(vehicle, "input0")
         self.obstacle_idx = []
         for obstacle in problem.environment.obstacles:
             try:
@@ -126,17 +120,18 @@ class BatchedP2PRunner:
             except KeyError:
                 pass  # spline-trajectory obstacles move via their coeffs
 
-        # spline-sampling matrices at the tau grid the rollout visits:
-        # tau_k = (k mod spk) * update_time / horizon, plus one step ahead
-        spk = self.steps_per_knot
-        taus = np.arange(spk + 1) * self.update_time / horizon
-        basis = vehicle.basis
-        db, P1 = basis.derivative(1)
-        self.E0 = jnp.asarray(basis.eval(taus), dtype=dtype)          # (spk+1, n)
-        self.E1 = jnp.asarray(db.eval(taus) @ P1, dtype=dtype)        # (spk+1, n)
         sl, shape = tr.var_slice(vehicle, "splines_seg0")
         self.i_splines = np.arange(sl.start, sl.stop)
         self.spline_shape = shape  # (n_coeffs, n_spl)
+
+        # vehicle-specific rollout recipe (sampling matrices, ideal plant
+        # update, init guesses) -- see problems/rollout_models.py
+        from .rollout_models import make_rollout_model
+        self.model = make_rollout_model(self)
+        for alias in ("E0", "E1", "i_state0", "i_input0"):
+            if hasattr(self.model, alias):
+                setattr(self, alias, getattr(self.model, alias))
+        self.i_poseT = self.model.i_goal
 
         lb, ub = tr.bounds(0.0)
         self.lb = jnp.asarray(np.asarray(lb), dtype=dtype)
@@ -163,7 +158,8 @@ class BatchedP2PRunner:
                 obj_scale=problem._obj_scale,
                 # head of the block-arrow partition: the vehicle spline
                 # coefficients (every constraint family touches them)
-                head=(int(self.i_splines[0]), len(self.i_splines)))
+                head=(int(self.i_splines[0]), len(self.i_splines)),
+                p_cols=an["vsel"])
             self.structure = "compact"
             if self.compact.arrow is not None:
                 self.structure = "compact-arrow"
@@ -183,28 +179,42 @@ class BatchedP2PRunner:
         """The rollout's large tensors, to be passed as jit ARGUMENTS."""
         if self.compact is not None:
             return CompactConsts(self.compact.device_tensors(self.dtype),
-                                 self.lb, self.ub, self.shift_M,
-                                 self.E0, self.E1)
+                                 self.lb, self.ub, self.shift_M)
         if self.affine_cA:
             cA = (self.c0, self.C1, self.A0, self.TA, self.f0, self.gf)
         else:
             cA = (None,) * 6
         return RolloutConsts(self.Q_dev, *cA, self.lb, self.ub,
-                             self.shift_M, self.E0, self.E1)
+                             self.shift_M)
+
+    def _varying_param_indices(self):
+        """Full-p indices of the parameters that change during a rollout
+        (vehicle state, goal, obstacle states).  Everything else (t, T,
+        shape data) is frozen, so the affine/bilinear tensors are built --
+        and stored -- restricted to these columns (a ~n_p/n_vary cut in
+        both the host AD cost and the tensor footprint)."""
+        varying = list(self.model.varying_params())
+        for (ix, iv, ia) in self.obstacle_idx:
+            varying.extend([ix, iv, ia])
+        return np.unique(np.concatenate(varying))
 
     def _build_affine_cA(self):
         from ..utils.devices import on_host
         from ..utils import cache as _cache
         self._affine_np = None
-        hit = _cache.load_tensors(self._cache_key, "affine")
+        hit = _cache.load_tensors(self._cache_key, "affine_v")
         if hit is not None:
             self.affine_cA = bool(hit["ok"])
             if self.affine_cA:
                 dt = self.dtype
                 self._affine_np = {name: hit[name] for name in
-                                   ("c0", "C1", "A0", "TA", "f0", "gf")}
+                                   ("c0", "C1", "A0", "TA", "f0", "gf",
+                                    "vsel")}
                 for name, val in self._affine_np.items():
-                    setattr(self, name, jnp.asarray(val, dtype=dt))
+                    if name == "vsel":
+                        self._vsel = np.asarray(val, dtype=np.int64)
+                    else:
+                        setattr(self, name, jnp.asarray(val, dtype=dt))
             return
         with on_host():
             with jax.default_matmul_precision("highest"):
@@ -215,7 +225,9 @@ class BatchedP2PRunner:
             for name in ("c0", "C1", "A0", "TA", "f0", "gf"):
                 arrays[name] = np.asarray(getattr(self, name))
                 self._affine_np[name] = arrays[name]
-        _cache.store_tensors(self._cache_key, "affine", arrays)
+            arrays["vsel"] = np.asarray(self._vsel)
+            self._affine_np["vsel"] = arrays["vsel"]
+        _cache.store_tensors(self._cache_key, "affine_v", arrays)
 
     def _build_affine_cA_impl(self):
         tr = self.tr
@@ -226,9 +238,23 @@ class BatchedP2PRunner:
         spk = self.steps_per_knot
         zero = jnp.zeros(tr.n_x)
         p_base = problem.pack_parameters(0.0)
+        varying = self._varying_param_indices()
+        n_v = len(varying)
+        # AD restricted to the varying parameter columns: dp -> p + E dp
+        E = np.zeros((n_p, n_v))
+        E[varying, np.arange(n_v)] = 1.0
+        Ej = jnp.asarray(E)
+        dzero = jnp.zeros(n_v)
         jac_x = jax.jit(jax.jacfwd(g_fn))
-        jac_xp = jax.jit(jax.jacfwd(jax.jacfwd(g_fn), argnums=1))
-        jac_p = jax.jit(jax.jacfwd(g_fn, argnums=1))
+
+        def g_of_dp(dp, pj):
+            return g_fn(zero, pj + Ej @ dp)
+
+        def jx_of_dp(dp, pj):
+            return jax.jacfwd(g_fn)(zero, pj + Ej @ dp)
+
+        jac_p_v = jax.jit(jax.jacfwd(g_of_dp))           # (m, n_v)
+        jac_xp_v = jax.jit(jax.jacfwd(jx_of_dp))         # (m, n, n_v)
         grad_f = jax.jit(jax.grad(f_fn))
         c0s, C1s, A0s, TAs, f0s, gfs = [], [], [], [], [], []
         ok = self.structure == "quadratic"
@@ -236,31 +262,25 @@ class BatchedP2PRunner:
             p_ref = p_base.copy()
             p_ref[self.i_t] = ph * self.update_time
             pj = jnp.asarray(p_ref)
-            C1 = np.asarray(jac_p(zero, pj))
-            c0 = np.asarray(g_fn(zero, pj)) - C1 @ p_ref
-            TA = np.asarray(jac_xp(zero, pj))          # (m, n, n_p)
-            A0 = np.asarray(jac_x(zero, pj)) - TA @ p_ref
+            pv_ref = p_ref[varying]
+            C1 = np.asarray(jac_p_v(dzero, pj))          # (m, n_v)
+            c0 = np.asarray(g_fn(zero, pj)) - C1 @ pv_ref
+            TA = np.asarray(jac_xp_v(dzero, pj))         # (m, n, n_v)
+            A0 = np.asarray(jac_x(zero, pj)) - TA @ pv_ref
             gf = np.asarray(grad_f(zero, pj))
             f0 = float(f_fn(zero, pj))
-            # validate affineness in the parameters that actually vary over
-            # a rollout (vehicle state, goal, obstacle states); fixed
+            # validate affineness in the varying parameters; fixed
             # parameters (t, T, shape data) may enter nonlinearly
             rng = np.random.default_rng(ph)
-            varying = [self.i_state0, self.i_input0]
-            sl, _ = tr.par_slice(problem.vehicles[0], "poseT")
-            varying.append(np.arange(sl.start, sl.stop))
-            for (ix, iv, ia) in self.obstacle_idx:
-                varying.extend([ix, iv, ia])
-            varying = np.concatenate(varying)
             p_probe = p_ref.copy()
-            p_probe[varying] += rng.standard_normal(len(varying)) * 0.1
-            c_pred = c0 + C1 @ p_probe
+            p_probe[varying] += rng.standard_normal(n_v) * 0.1
+            c_pred = c0 + C1 @ p_probe[varying]
             c_direct = np.asarray(g_fn(zero, jnp.asarray(p_probe)))
             if np.max(np.abs(c_pred - c_direct)) > 1e-4 * (
                     np.max(np.abs(c_direct)) + 1.0):
                 ok = False
                 break
-            A_pred = A0 + TA @ p_probe
+            A_pred = A0 + TA @ p_probe[varying]
             A_direct = np.asarray(jac_x(zero, jnp.asarray(p_probe)))
             if np.max(np.abs(A_pred - A_direct)) > 1e-4 * (
                     np.max(np.abs(A_direct)) + 1.0):
@@ -271,6 +291,7 @@ class BatchedP2PRunner:
             f0s.append(f0); gfs.append(gf)
         if ok:
             dt = self.dtype
+            self._vsel = varying
             self.c0 = jnp.asarray(np.stack(c0s), dtype=dt)
             self.C1 = jnp.asarray(np.stack(C1s), dtype=dt)
             self.A0 = jnp.asarray(np.stack(A0s), dtype=dt)
@@ -281,13 +302,14 @@ class BatchedP2PRunner:
         else:
             self.affine_cA = False
 
-    @staticmethod
-    def _cA_at(C: RolloutConsts, phase, p):
-        """(c, A, f0, gf) for one scenario at the given phase (traced)."""
+    def _cA_at(self, C: RolloutConsts, phase, p):
+        """(c, A, f0, gf) for one scenario at the given phase (traced).
+        C1/TA are restricted to the varying parameter columns."""
+        pv = p[jnp.asarray(self._vsel)]
         c = jnp.take(C.c0, phase, axis=0) \
-            + jnp.take(C.C1, phase, axis=0) @ p
+            + jnp.take(C.C1, phase, axis=0) @ pv
         A = jnp.take(C.A0, phase, axis=0) \
-            + jnp.einsum("mnq,q->mn", jnp.take(C.TA, phase, axis=0), p)
+            + jnp.einsum("mnq,q->mn", jnp.take(C.TA, phase, axis=0), pv)
         f0 = jnp.take(C.f0, phase, axis=0)
         gf = jnp.take(C.gf, phase, axis=0)
         return (c, A, f0, gf)
@@ -307,19 +329,14 @@ class BatchedP2PRunner:
         n_coef = len(vehicle.basis)
 
         x0 = np.tile(tr.initial_guess()[None, :], (B, 1))
-        # straight-line spline guesses
-        line = (np.linspace(0, 1, n_coef)[None, :, None]
-                * (goals - starts)[:, None, :] + starts[:, None, :])
-        x0[:, self.i_splines] = line.reshape(B, -1)
+        x0[:, self.i_splines] = self.model.init_guess(
+            starts, goals, n_coef).reshape(B, -1)
 
         # parameters
         p0 = np.tile(np.zeros(tr.n_p)[None, :], (B, 1))
         base = problem.pack_parameters(0.0)
         p0[:, :] = base[None, :]
-        p0[:, self.i_state0] = starts
-        p0[:, self.i_input0] = 0.0
-        sl, _ = tr.par_slice(vehicle, "poseT")
-        p0[:, sl.start:sl.stop] = goals
+        p0 = self.model.batch_params(p0, starts, goals)
         obs_list = problem.environment.obstacles
         if obstacle_states is not None:
             for (ix, iv, ia), (pos, vel, acc) in zip(self.obstacle_idx,
@@ -348,9 +365,8 @@ class BatchedP2PRunner:
                 from ..ops.basis import Basis
                 hyp_basis = problem.environment._hyperplane_basis(vehicle)
                 g = hyp_basis.greville()
-                # points on straight path at greville taus: (B, nb, 2)
-                pts = (g[None, :, None] * (goals - starts)[:, None, :]
-                       + starts[:, None, :])
+                # points on the init path at greville taus: (B, nb, 2)
+                pts = self.model.path_points(starts, goals, g)
                 nearest = np.clip(pts, bbox_lo[:, None, :], bbox_hi[:, None, :])
                 d = pts - nearest
                 nrm = np.linalg.norm(d, axis=-1, keepdims=True)
@@ -392,21 +408,28 @@ class BatchedP2PRunner:
                                                       Q=C.Q))
         return solve(x0, p0)
 
-    def rollout_fn(self, n_steps, outer_iter=4):
+    def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3):
         """Return a jittable function
         (alm_state, p, state, consts) -> (final carry, per-step states)
         advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
         :meth:`consts`) carries the big tensors as jit arguments; omitting it
-        falls back to closure capture (fine on the local backend only)."""
+        falls back to closure capture (fine on the local backend only).
+
+        ``recover_tol``: on-device failure recovery (the rollout analog of
+        the host path's reinitialize-on-failure, problems/problem.py:199-206):
+        scenarios whose raw constraint violation exceeds the tolerance get a
+        masked warm-start reset -- straight-line spline guess from the
+        current state to the goal, multipliers zeroed, penalty re-armed --
+        instead of rolling garbage forward."""
         spk = self.steps_per_knot
         dt = self.update_time
         solver = self.solver
         affine = self.affine_cA
         compact = self.compact
         i_spl = jnp.asarray(self.i_splines)
+        i_poseT = jnp.asarray(self.i_poseT)
         i_t = jnp.asarray(self.i_t)
-        i_state0 = jnp.asarray(self.i_state0)
-        i_input0 = jnp.asarray(self.i_input0)
+        model = self.model
         obstacle_idx = [(jnp.asarray(ix), jnp.asarray(iv), jnp.asarray(ia))
                         for (ix, iv, ia) in self.obstacle_idx]
         n_coef, n_spl = self.spline_shape
@@ -420,8 +443,16 @@ class BatchedP2PRunner:
             # knot passage: shift the warm start (k > 0 and phase == 0)
             do_shift = (phase == 0) & (k > 0)
             x_warm = jnp.where(do_shift, C.M @ st.x, st.x)
+            # masked divergence recovery: fresh-guess re-initialization
+            bad = st.feas_raw > recover_tol
+            goal = p[i_poseT]
+            reset = model.reset_guess(state, goal, n_coef,
+                                      x_warm.dtype).reshape(-1)
+            x_warm = jnp.where(bad, x_warm.at[i_spl].set(reset), x_warm)
+            lam_warm = jnp.where(bad, jnp.zeros_like(st.lam), st.lam)
+            rho_warm = jnp.where(bad, jnp.full_like(st.rho, 100.0), st.rho)
             p = p.at[i_t].set(phase * dt)
-            st_in = st._replace(x=x_warm,
+            st_in = st._replace(x=x_warm, lam=lam_warm, rho=rho_warm,
                                feas=jnp.full_like(st.feas, jnp.inf),
                                stat=jnp.full_like(st.stat, jnp.inf),
                                n_iter=jnp.zeros_like(st.n_iter))
@@ -434,14 +465,11 @@ class BatchedP2PRunner:
                 cA = cA_at(C, phase, p) if affine else None
                 st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
                             outer_iter=outer_iter, cA=cA, Q=C.Q)
-            # ideal plant update: state/input from the solved splines at the
-            # next sample instant
+            # ideal plant update: vehicle recipe maps the solved splines at
+            # the next sample instant back into the parameter vector
             cfs = st.x[i_spl].reshape(n_coef, n_spl)
             row = phase + 1
-            state_n = C.E0[row] @ cfs                  # (n_spl,)
-            input_n = (C.E1[row] @ cfs) / horizon
-            p = p.at[i_state0].set(state_n)
-            p = p.at[i_input0].set(input_n)
+            p, state_n = model.update(p, cfs, row, horizon)
             # obstacle constant-acceleration propagation
             for (ix, iv, ia) in obstacle_idx:
                 pos, vel, acc = p[ix], p[iv], p[ia]

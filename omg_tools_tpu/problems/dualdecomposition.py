@@ -60,10 +60,10 @@ class DDProblem(ADMMProblem):
         self.alpha = options.pop("alpha", 0.5)  # dual step size
         ADMMProblem.__init__(self, fleet, environment, options)
 
-    def _make_template(self):
-        tmpl = _DDLocalP2P(self.vehicles[0], self.environment.copy(),
+    def _make_template(self, vehicle):
+        tmpl = _DDLocalP2P(vehicle, self.environment.copy(),
                            dict(self.options))
-        cfg = self.fleet.configuration[self.vehicles[0]]
+        cfg = self.fleet.configuration[vehicle]
         tmpl.fleet_config_indices = sorted(cfg.keys())
         return tmpl
 
@@ -84,11 +84,12 @@ class DDProblem(ADMMProblem):
         mu += self.L[i, 1] - self.L[prv, 0]   # edge i-1 (with prev)
         return mu
 
-    def _pack_params(self, current_time):
-        tmpl = self.template
+    def _pack_params(self, group, current_time):
+        tmpl = group.template
         tr = tmpl.transcription
-        P = np.zeros((self.N, tr.n_p))
-        for i, veh in enumerate(self.vehicles):
+        P = np.zeros((len(group.indices), tr.n_p))
+        for row, i in enumerate(group.indices):
+            veh = self.vehicles[i]
             values = {}
             vpars = veh.set_parameters(current_time)[veh]
             vpars["rel_pos_c"] = np.asarray(veh.rel_pos_c)
@@ -99,20 +100,21 @@ class DDProblem(ADMMProblem):
             ppars = tmpl.set_parameters(current_time)[tmpl]
             ppars["dd_mu"] = self._mu(i)
             values[tmpl.label] = ppars
-            P[i] = tr.pack_parameters(values)
+            P[row] = tr.pack_parameters(values)
         return P
 
     def dual_update(self, current_time):
-        P = self._pack_params(current_time)
-        Xj = jnp.asarray(self.X)
-        Pj = jnp.asarray(P)
-        if self._alm_state is None:
-            st = self._vsolve(Xj, Pj)
-        else:
-            st = self._vresolve(Xj, Pj, self._alm_state)
-        self._alm_state = jax.tree_util.tree_map(jnp.asarray, st)
-        self.X = np.asarray(st.x, dtype=np.float64)
-        S = np.stack([self._s_of(self.X[i], i) for i in range(self.N)])
+        for group in self.groups:
+            P = self._pack_params(group, current_time)
+            Xj = jnp.asarray(group.X)
+            Pj = jnp.asarray(P)
+            if group.alm_state is None:
+                st = group.vsolve(Xj, Pj)
+            else:
+                st = group.vresolve(Xj, Pj, group.alm_state)
+            group.alm_state = jax.tree_util.tree_map(jnp.asarray, st)
+            group.X = np.asarray(st.x, dtype=np.float64)
+        S = np.stack([self._s_of_vehicle(i) for i in range(self.N)])
         # dual subgradient step along each edge (communicate = roll)
         if self.N == 2:
             diff = S[0] - S[1]
@@ -127,17 +129,6 @@ class DDProblem(ADMMProblem):
         self.residuals.append((pri, float("nan")))
         return pri, float("nan")
 
-    def init_step(self, current_time, update_time):
-        knot_time = self.template.knot_time
-        interval_prev = int(np.round(self.current_time_prev / knot_time, 6))
-        interval_now = int(np.round(current_time / knot_time, 6))
-        if interval_prev < interval_now:
-            self.X = self.X @ self._x_shift.T
-            L = self.L.reshape(-1, self.n_sh) @ self._sh_shift.T
-            self.L = L.reshape(self.N, self.n_slots, self.n_sh)
-            self._alm_state = None
-        self.current_time_prev = current_time
-        self.template.current_time_prev = current_time
 
 
 class FormationPoint2pointDualDecomposition(DDProblem):

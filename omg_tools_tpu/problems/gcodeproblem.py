@@ -18,12 +18,58 @@ import numpy as np
 
 from .problem import Problem
 from ..modeling.opti import BIG
-from ..ops.spline import evalspline
+from ..ops.spline import (BSpline, evalspline, running_integral,
+                          sample_spline)
 from ..environment.environment import Environment
 from ..environment.shapes import Rectangle, Ring
 from ..gui.gcode_block import G00, G01, G02, G03
 
-__all__ = ["GCodeProblem", "GCodeSchedulerProblem", "blocks_to_segments"]
+__all__ = ["GCodeProblem", "GCodeSchedulerProblem", "blocks_to_segments",
+           "split_ring_segments", "bangbang_jerk_guess", "ring_guess",
+           "motion_time_guess"]
+
+
+def split_ring_segments(segments, max_angle=np.pi / 2, tolerance=None):
+    """Split arc segments spanning more than ``max_angle`` into sub-arcs
+    (reference gcodeschedulerproblem.py:506 ``split_ring_segment`` -- large
+    arcs make the tolerance tube strongly non-convex and the NLP
+    ill-conditioned)."""
+    out = []
+    for seg in segments:
+        shape = seg["shape"]
+        if not isinstance(shape, Ring):
+            out.append(seg)
+            continue
+        start_a, end_a = shape.start, shape.end
+        if shape.direction == "CW" and end_a > start_a:
+            end_a -= 2 * np.pi
+        if shape.direction == "CCW" and end_a < start_a:
+            end_a += 2 * np.pi
+        span = end_a - start_a
+        n_parts = max(1, int(np.ceil(abs(span) / max_angle)))
+        if n_parts == 1:
+            out.append(seg)
+            continue
+        center = np.asarray(seg["pose"][:2], dtype=np.float64)
+        radius = 0.5 * (shape.radius_in + shape.radius_out)
+        z0 = seg["start"][2] if len(seg["start"]) > 2 else 0.0
+        z1 = seg["end"][2] if len(seg["end"]) > 2 else 0.0
+        angles = start_a + span * np.linspace(0.0, 1.0, n_parts + 1)
+        for k in range(n_parts):
+            a0, a1 = angles[k], angles[k + 1]
+            p0 = center + radius * np.array([np.cos(a0), np.sin(a0)])
+            p1 = center + radius * np.array([np.cos(a1), np.sin(a1)])
+            zk0 = z0 + (z1 - z0) * k / n_parts
+            zk1 = z0 + (z1 - z0) * (k + 1) / n_parts
+            out.append({
+                "shape": Ring(radius_in=shape.radius_in,
+                              radius_out=shape.radius_out,
+                              start=a0, end=a1, direction=shape.direction),
+                "pose": list(seg["pose"]),
+                "start": [float(p0[0]), float(p0[1]), float(zk0)],
+                "end": [float(p1[0]), float(p1[1]), float(zk1)],
+                "number": seg["number"]})
+    return out
 
 
 def blocks_to_segments(blocks, tolerance):
@@ -56,6 +102,133 @@ def blocks_to_segments(blocks, tolerance):
                 "pose": [float(mid[0]), float(mid[1]), float(mid[2])],
                 "start": list(start), "end": list(end), "number": b.number})
     return segments
+
+
+def bangbang_jerk_guess(tool, segment):
+    """Jerk bang-bang initial guess for a straight segment (reference
+    gcodeschedulerproblem.py:877 ``get_init_guess_bangbang_jerk``): a
+    zero-mean +-j_lim square-wave jerk coefficient pattern on the 3rd-
+    derivative basis is integrated three times to a rest-to-rest position
+    profile, then scaled from segment start to end per axis."""
+    basis = tool.basis
+    jbasis, _ = basis.derivative(3)
+    n_coeffs = len(jbasis)
+    j_lim = tool.jxmax if tool.jxmax != 0.0 else tool.jzmax
+    multiple, rest = divmod(n_coeffs, 4)
+    m = multiple
+    if rest == 0:
+        pattern = np.r_[np.ones(m), -np.ones(2 * m), np.ones(m)]
+    elif rest == 1:
+        pattern = np.r_[np.ones(m), -np.ones(m), [0.0], -np.ones(m),
+                        np.ones(m)]
+    elif rest == 2:
+        pattern = np.r_[np.ones(m), [0.0], -np.ones(2 * m), [0.0],
+                        np.ones(m)]
+    else:
+        pattern = np.r_[np.ones(m), [0.0], -np.ones(m), [0.0], -np.ones(m),
+                        [0.0], np.ones(m)]
+    jerk = BSpline(jbasis, j_lim * pattern)
+    pos = running_integral(running_integral(running_integral(jerk)))
+    guess = np.asarray(pos.coeffs, dtype=np.float64)
+    if len(guess) != len(basis):
+        # non-clamped corner case: fall back to a straight line
+        guess = np.linspace(0.0, 1.0, len(basis))
+    end = max(float(guess[-1]), 1e-12)
+    start = np.asarray(segment["start"], dtype=np.float64)
+    stop = np.asarray(segment["end"], dtype=np.float64)
+    init = np.zeros((len(basis), 3))
+    for axis in range(2):
+        init[:, axis] = guess / end * (stop[axis] - start[axis]) + start[axis]
+        init[:3, axis] = start[axis]       # rest-to-rest clamping
+        init[-3:, axis] = stop[axis]
+    z0 = start[2] if len(start) > 2 else 0.0
+    z1 = stop[2] if len(stop) > 2 else 0.0
+    init[:, 2] = np.linspace(z0, z1, len(basis))
+    return init
+
+
+def ring_guess(tool, segment):
+    """Initial guess for an arc segment: the ring centerline sampled along
+    the arc, fit by Greville collocation, with rest-to-rest clamping (the
+    deterministic analog of the reference's dedicated guess NLP,
+    gcodeschedulerproblem.py:1010)."""
+    basis = tool.basis
+    shape = segment["shape"]
+    center = np.asarray(segment["pose"][:2], dtype=np.float64)
+    radius = 0.5 * (shape.radius_in + shape.radius_out)
+    a0, a1 = shape.start, shape.end
+    if shape.direction == "CW" and a1 > a0:
+        a1 -= 2 * np.pi
+    if shape.direction == "CCW" and a1 < a0:
+        a1 += 2 * np.pi
+
+    def midline(g):
+        ang = a0 + (a1 - a0) * np.asarray(g)
+        return np.stack([center[0] + radius * np.cos(ang),
+                         center[1] + radius * np.sin(ang)], axis=1)
+
+    coeffs = basis.solve_collocation(midline)          # (n, 2)
+    init = np.zeros((len(basis), 3))
+    init[:, :2] = coeffs
+    start = np.asarray(segment["start"], dtype=np.float64)
+    stop = np.asarray(segment["end"], dtype=np.float64)
+    init[0, :2] = start[:2]
+    init[-1, :2] = stop[:2]
+    z0 = start[2] if len(start) > 2 else 0.0
+    z1 = stop[2] if len(stop) > 2 else 0.0
+    init[:, 2] = np.linspace(z0, z1, len(basis))
+    return init
+
+
+def motion_time_guess(tool, segment, coeff_guess=None):
+    """Per-segment motion-time estimate (reference
+    gcodeschedulerproblem.py:1133 ``get_init_guess_motion_time``).
+
+    With spline coefficients given: the smallest T such that the scaled
+    velocity/acceleration/jerk profiles respect the tool limits (closed
+    form from sampled derivative maxima -- the reference solves the same
+    scaling relations).  Without: the 7-phase jerk-limited S-curve timing
+    over the segment length."""
+    j_lim = tool.jxmax if tool.jxmax != 0.0 else tool.jzmax
+    a_lim = tool.axmax if tool.axmax != 0.0 else tool.azmax
+    v_lim = tool.vxmax if tool.vxmax != 0.0 else tool.vzmax
+    if coeff_guess is not None:
+        basis = tool.basis
+        grid = np.linspace(0.0, 1.0, 100)
+        T_req = 0.0
+        cols = [0, 1] if tool.vxmax != 0.0 else [2]
+        for axis in cols:
+            s = BSpline(basis, np.asarray(coeff_guess)[:, axis])
+            vel = np.max(np.abs(np.asarray(
+                sample_spline(s.derivative(), grid))))
+            acc = np.max(np.abs(np.asarray(
+                sample_spline(s.derivative(2), grid))))
+            jrk = np.max(np.abs(np.asarray(
+                sample_spline(s.derivative(3), grid))))
+            T_req = max(T_req, vel / max(v_lim, 1e-9),
+                        np.sqrt(acc / max(a_lim, 1e-9)),
+                        (jrk / max(j_lim, 1e-9)) ** (1.0 / 3.0))
+        return 1.05 * max(T_req, 1e-2)
+    shape = segment["shape"]
+    if isinstance(shape, Ring):
+        radius = 0.5 * (shape.radius_in + shape.radius_out)
+        a0, a1 = shape.start, shape.end
+        if shape.direction == "CW" and a1 > a0:
+            a1 -= 2 * np.pi
+        if shape.direction == "CCW" and a1 < a0:
+            a1 += 2 * np.pi
+        distance = radius * abs(a1 - a0)
+    else:
+        distance = float(np.linalg.norm(
+            np.asarray(segment["end"]) - np.asarray(segment["start"])))
+    # 7-phase S-curve: T1 limited by reaching a_lim, v_lim or the distance
+    T1 = min(a_lim / j_lim, np.sqrt(v_lim / j_lim),
+             (32.0 * distance / j_lim) ** (1.0 / 3.0) / 4.0)
+    v1 = j_lim * T1 ** 2                   # velocity after phases 1-3
+    d_acc = 2.0 * j_lim * T1 ** 3          # distance over phases 1-3 + 6-8
+    d_cruise = max(distance - d_acc, 0.0)
+    T_cruise = d_cruise / max(v1, 1e-9)
+    return 1.05 * max(4.0 * T1 + T_cruise, 1e-2)
 
 
 class GCodeProblem(Problem):
@@ -150,23 +323,28 @@ class GCodeProblem(Problem):
         return [float(self.get_variables(self, f"T{k}")[0])
                 for k in range(self.n_segments)]
 
-    def reinitialize(self, father=None):
+    def reinitialize(self, father=None, handdown=None):
+        """Per-segment initial guesses: bang-bang jerk profile for straight
+        tubes, centerline fit for arcs, with the S-curve / scaling-based
+        motion-time estimates (reference gcodeschedulerproblem.py:877,
+        :1010, :1133).  ``handdown``: (coeffs, T) pairs carried over from a
+        rolled window (segment k+1 -> k)."""
         tool = self.vehicles[0]
         tr = self.transcription
-        # straight-line guesses between segment start/end points
         for k in range(self.n_segments):
             seg = self.environment.room[k]
-            n = len(tool.basis)
-            init = np.stack([np.linspace(seg["start"][d], seg["end"][d], n)
-                             for d in range(3)], axis=1)
+            if handdown is not None and k < len(handdown):
+                init, T_guess = handdown[k]
+            else:
+                if isinstance(seg["shape"], Ring):
+                    init = ring_guess(tool, seg)
+                else:
+                    init = bangbang_jerk_guess(tool, seg)
+                T_guess = motion_time_guess(tool, seg, coeff_guess=init)
             sl, _ = tr.var_slice(tool, f"splines_seg{k}")
-            self._x_result[sl] = init.reshape(-1)
-            # motion-time guess: path length over half max velocity
-            length = np.linalg.norm(np.asarray(seg["end"])
-                                    - np.asarray(seg["start"]))
-            vmax = max(abs(tool.vxmax), abs(tool.vzmax), 1e-6)
+            self._x_result[sl] = np.asarray(init).reshape(-1)
             slT, _ = tr.var_slice(self, f"T{k}")
-            self._x_result[slT] = max(2.0 * length / vmax, 0.1)
+            self._x_result[slT] = max(float(T_guess), 0.1)
         self._ip_state = None
 
     def store(self, current_time, update_time, sample_time):
@@ -228,15 +406,16 @@ class GCodeSchedulerProblem(Problem):
         self.tool = self.vehicles[0]
         self.blocks = list(gcode_blocks)
         self.n_segments = min(n_segments, len(self.blocks))
-        self.segments_all = blocks_to_segments(self.blocks,
-                                               self.tool.tolerance)
+        self.segments_all = split_ring_segments(
+            blocks_to_segments(self.blocks, self.tool.tolerance),
+            tolerance=self.tool.tolerance)
         self.window_start = 0
         self.cnt_windows = 0
 
     def init(self):
         self._make_window_problem()
 
-    def _make_window_problem(self):
+    def _make_window_problem(self, handdown=None):
         segs = self.segments_all[self.window_start:
                                  self.window_start + self.n_segments]
         rooms = [dict(s) for s in segs]
@@ -248,7 +427,7 @@ class GCodeSchedulerProblem(Problem):
         self.local_problem = GCodeProblem(self.tool, local_env,
                                           len(segs), {"verbose": 0})
         self.local_problem.init()
-        self.local_problem.reinitialize()
+        self.local_problem.reinitialize(handdown=handdown)
         self.cnt_windows += 1
 
     def _segment_done(self):
@@ -268,11 +447,24 @@ class GCodeSchedulerProblem(Problem):
     def predict(self, *args, **kwargs):
         self.local_problem.predict(*args, **kwargs)
 
+    def _handdown_guess(self):
+        """Window roll: segment k+1 of the solved problem becomes the
+        segment-k guess of the next window (the analog of the reference's
+        combined-segment re-projection, gcodeschedulerproblem.py:985)."""
+        problem = self.local_problem
+        times = problem.segment_times()
+        out = []
+        for k in range(1, problem.n_segments):
+            coeffs = problem.get_variables(self.tool, f"splines_seg{k}")
+            out.append((np.asarray(coeffs), times[k]))
+        return out or None
+
     def solve(self, current_time, update_time):
         if self._segment_done() and \
                 self.window_start + self.n_segments < len(self.segments_all):
+            handdown = self._handdown_guess()
             self.window_start += 1
-            self._make_window_problem()
+            self._make_window_problem(handdown=handdown)
             self.local_problem.initialize(current_time)
         self.local_problem.solve(current_time, update_time)
         self.solver_stats = self.local_problem.solver_stats

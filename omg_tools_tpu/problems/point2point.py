@@ -133,12 +133,14 @@ class FixedTPoint2point(Point2pointProblem):
     def define_terminal_constraints(self):
         objective = 0.0
         self.term_con_len = []
+        self._term_g_bases = []
         for vehicle in self.vehicles:
             term_con, term_con_der = vehicle.get_terminal_constraints(
                 vehicle.splines[0])
             if self.options["no_term_con_der"]:
                 term_con_der = []
             self.term_con_len.append(len(term_con))
+            self._term_g_bases.append([c[0].basis for c in term_con])
             for k, (spline, condition) in enumerate(term_con):
                 g = self.define_spline_variable(
                     f"g{k}", 1, basis=spline.basis)[0]
@@ -226,7 +228,7 @@ class FixedTPoint2point(Point2pointProblem):
             for k in range(self.term_con_len[v]):
                 g_cfs = self.get_variables(self, f"g{k}")[:, 0]
                 from ..ops.spline import BSpline
-                g = BSpline(self.vehicles[v].basis, g_cfs)
+                g = BSpline(self._term_g_bases[v][k], g_cfs)
                 part += horizon_time * float(definite_integral(
                     g, float(t0), float(t1)))
         self.objective += part
@@ -238,7 +240,7 @@ class FixedTPoint2point(Point2pointProblem):
                 for k in range(self.term_con_len[v]):
                     g_cfs = self.get_variables(self, f"g{k}")[:, 0]
                     from ..ops.spline import BSpline
-                    g = BSpline(vehicle.basis, g_cfs)
+                    g = BSpline(self._term_g_bases[v][k], g_cfs)
                     obj += self.options["horizon_time"] * float(g.integral())
             return obj
         return self.objective
@@ -365,6 +367,7 @@ class FreeEndPoint2point(FixedTPoint2point):
     def define_terminal_constraints(self):
         objective = 0.0
         self.term_con_len = []
+        self._term_g_bases = []
         for l, vehicle in enumerate(self.vehicles):
             term_con, term_con_der = vehicle.get_terminal_constraints(
                 vehicle.splines[0])
@@ -374,6 +377,7 @@ class FreeEndPoint2point(FixedTPoint2point):
             conditions = self.define_variable(f"conT{l}", len(free))
             cnt = 0
             self.term_con_len.append(len(term_con))
+            self._term_g_bases.append([c[0].basis for c in term_con])
             for k, (spline, condition) in enumerate(term_con):
                 if k in free:
                     condition = conditions[cnt]

@@ -92,7 +92,25 @@ class Problem(OptiChild, PlotLayer):
         self._row_scale = row_scale
         self._obj_scale = obj_scale
         self._backend = self.options.get("solver", "alm")
-        if self._backend == "ipm":
+        if self._backend == "scipy":
+            # independent CPU reference solver (parity trust anchor; the
+            # analog of the reference's Ipopt backend, problem.py:113).
+            # Raw units (no row scaling): feas is directly comparable to
+            # the 1e-3 failure threshold below.
+            from ..ops.refsolver import make_ref_solver
+            self._solver = make_ref_solver(
+                f, g, tr.n_x, tr.lb, tr.ub,
+                tol=sopts.get("tol", 1e-7),
+                max_iter=sopts.get("max_iter", 300))
+
+            def _ref_solve(x0, p, lb, ub, st=None):
+                return self._solver(np.asarray(x0), np.asarray(p),
+                                    np.asarray(lb), np.asarray(ub), state0=st)
+
+            self._jit_solve = _ref_solve
+            self._jit_resolve = _ref_solve
+            self._jit_reslack = _ref_solve
+        elif self._backend == "ipm":
             ip_options = IPOptions(
                 max_iter=sopts.get("max_iter", 60),
                 tol=sopts.get("tol", 1e-4))
@@ -132,8 +150,9 @@ class Problem(OptiChild, PlotLayer):
                 lambda x0, p, lb, ub, st: self._solver(
                     x0, p, lb, ub, state0=st))
             self._jit_reslack = self._jit_resolve
-        self._jit_solve = jax.jit(
-            lambda x0, p, lb, ub: self._solver(x0, p, lb, ub))
+        if self._backend != "scipy":
+            self._jit_solve = jax.jit(
+                lambda x0, p, lb, ub: self._solver(x0, p, lb, ub))
         self._shifted = False
         self._x_result = tr.initial_guess()
         self._ip_state = None
@@ -187,7 +206,7 @@ class Problem(OptiChild, PlotLayer):
         st = jax.tree_util.tree_map(np.asarray, st)
         t_upd = _time.time() - t0
         self._ip_state = st
-        self._x_result = np.asarray(st.x, dtype=np.float64)
+        self._x_result = np.array(st.x, dtype=np.float64)  # owned copy
         self.solver_stats = {"kkt_err": float(st.kkt_err),
                              "iterations": int(st.n_iter),
                              "time": t_upd}

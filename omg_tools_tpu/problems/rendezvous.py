@@ -47,29 +47,25 @@ class _RdVLocal(FreeEndPoint2point):
 
 class RendezVous(ADMMProblem):
 
-    def _make_template(self):
-        veh0 = self.vehicles[0]
-        cfg = self.fleet.configuration[veh0]
+    def _make_template(self, vehicle):
+        cfg = self.fleet.configuration[vehicle]
         free_ind = sorted(cfg.keys())
-        tmpl = _RdVLocal(veh0, self.environment.copy(), dict(self.options),
+        tmpl = _RdVLocal(vehicle, self.environment.copy(), dict(self.options),
                          n_slots=self.n_slots, rho=self.rho,
                          free_ind=free_ind)
         tmpl.fleet_config_indices = free_ind
         return tmpl
 
-    def _shared_selector(self):
-        tr = self.template.transcription
-        sl, shape = tr.var_slice(self.template, "conT0")
+    def _shared_selector(self, group):
+        tr = group.template.transcription
+        sl, shape = tr.var_slice(group.template, "conT0")
         return np.arange(sl.start, sl.stop)
 
     def _rel_offsets(self, i):
         return np.asarray(self.vehicles[i].rel_pos_c, dtype=np.float64)
 
-    def _z_projection(self):
-        return np.eye(self.n_sh)
-
-    def _shared_shift(self):
-        return np.eye(self.n_sh)  # conT variables live outside the horizon
+    def _interconnection_rows(self):
+        return np.zeros((0, self.n_sh))  # no equalities on the terminal z
 
     def stop_criterium(self, current_time, update_time):
         res = 0.0
@@ -80,8 +76,8 @@ class RendezVous(ADMMProblem):
                 j = self.vehicles.index(nghb)
                 ind_nghb = sorted(self.fleet.configuration[nghb].keys())
                 for k, (iv, ig) in enumerate(zip(ind_veh, ind_nghb)):
-                    s_v = self._s_of(self.X[i], i)[k] - self._rel_offsets(i)[k]
-                    s_n = self._s_of(self.X[j], j)[k] - self._rel_offsets(j)[k]
+                    s_v = self._s_of_vehicle(i)[k] - self._rel_offsets(i)[k]
+                    s_n = self._s_of_vehicle(j)[k] - self._rel_offsets(j)[k]
                     res += (s_v - s_n - rel[nghb][k]) ** 2
         return float(np.sqrt(res)) <= 5e-2
 

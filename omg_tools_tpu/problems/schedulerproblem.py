@@ -1,13 +1,31 @@
 """Scheduler problem: receding-frame orchestration for vast environments.
 
 Reference: /root/reference/omgtools/problems/schedulerproblem.py.  The flow
-(A* global path -> moving frames -> local problems, with frame switching
-when the vehicle enters the overlap region) is preserved; local problems
-are FreeT point-to-point NLPs over the frame sub-environment.  Where the
-reference rebuilds the CasADi NLP from scratch at every frame switch
-(schedulerproblem.py:726, a multi-hundred-ms hiccup), this implementation
-caches transcriptions+solvers keyed by the frame's obstacle signature, so
-repeated frame layouts reuse the compiled solve.
+(A* global path -> moving frames -> local problems) is preserved at
+reference depth:
+
+- ``n_frames >= 2``: local problems are :class:`MultiFrameProblem`s over
+  the frame rooms with free per-segment motion times and overlap hand-off
+  (reference :700-730);
+- frame switching by OVERLAP-REGION MEMBERSHIP: when the vehicle enters
+  the overlap of frame 0 and frame 1, frame 0 is dropped and a new last
+  frame is appended (reference check_frames :409-431);
+- moving-obstacle membership is re-checked every period; a change rebuilds
+  the frames (reference solve :138-209);
+- init guesses: global-path waypoint interpolation at the Greville points
+  for new frames with motion-time estimate path_length/(vmax/2) (reference
+  get_init_guess_new_frame :563-658, :589-591), segment hand-down plus
+  combined-frame re-projection when frames shift (reference
+  get_init_guess_combined_frame :660-698);
+- CorridorFrame L-shape splitting (reference frame.py:777) via
+  ``frame_type='corridor', n_frames=2``.
+
+TPU-native difference (kept from round 1, deepened): where the reference
+rebuilds the CasADi NLP from scratch at every frame switch
+(schedulerproblem.py:726, a multi-hundred-ms hiccup), local problems here
+are built with PARAMETRIC room borders and obstacle SLOTS (padded per
+checkpoint-count class) and cached by structural signature -- a frame
+switch is a parameter update on a compiled problem, not a rebuild.
 """
 
 from __future__ import annotations
@@ -17,10 +35,13 @@ from typing import Dict, List, Optional
 import numpy as np
 
 from .globalplanner import AStarPlanner
+from .multiframeproblem import MultiFrameProblem
 from .point2point import FreeTPoint2point
 from .problem import Problem
 from ..environment.environment import Environment
-from ..environment.frame import ShiftFrame, CorridorFrame
+from ..environment.obstacle import Obstacle
+from ..environment.frame import (ShiftFrame, CorridorFrame, create_l_shape)
+from ..environment.shapes import Circle, Rectangle
 
 __all__ = ["SchedulerProblem"]
 
@@ -33,18 +54,25 @@ class SchedulerProblem(Problem):
         if len(self.vehicles) > 1:
             raise NotImplementedError("scheduler supports one vehicle")
         self.vehicle = self.vehicles[0]
-        self.frame_type = kwargs.get("frame_type",
-                                     self.options.get("frame_type",
-                                                      "shift_frame"))
+        opt = self.options
+        self.frame_type = kwargs.get("frame_type", opt.get("frame_type",
+                                                           "shift_frame"))
+        self.n_frames = int(kwargs.get("n_frames", opt.get("n_frames", 1)))
         self.frame_size = kwargs.get("frame_size", 2.5)
         self.n_cells = kwargs.get("n_cells", [20, 20])
+        # obstacle slots are padded to multiples of this per checkpoint
+        # class, so frame layouts with similar obstacle counts share one
+        # compiled problem
+        self.slot_quantum = int(kwargs.get("slot_quantum", 1))
         self.start_time = 0.0
         self._problem_cache: Dict = {}
         self.cnt_frame_switches = 0
+        self.cnt_problem_builds = 0
 
     def set_default_options(self):
         Problem.set_default_options(self)
         self.options["frame_type"] = "shift_frame"
+        self.options["n_frames"] = 1
 
     # -- build -------------------------------------------------------------
     def init(self):
@@ -52,63 +80,282 @@ class SchedulerProblem(Problem):
         self.curr_state = np.asarray(self.vehicle.prediction["state"][:2],
                                      dtype=np.float64)
         veh_size = getattr(self.vehicle.shapes[0], "radius", 0.2)
+        self.veh_size = veh_size
         self.planner = AStarPlanner(self.environment, self.n_cells,
                                     self.curr_state, self.goal,
                                     vehicle_size=veh_size)
-        self._make_frame_and_problem()
+        self._create_frames()
+        self._generate_problem(guess="waypoints")
 
     def _global_path(self):
         path = self.planner.get_path(self.curr_state, self.goal)
         if path is None:
             raise RuntimeError("global planner found no path")
-        return path
+        return [np.asarray(p, dtype=np.float64) for p in path]
 
-    def _make_frame(self):
-        path = self._global_path()
+    def _single_frame(self, start, path):
         if self.frame_type == "corridor":
-            frame = CorridorFrame(self.environment, self.curr_state,
-                                  self.goal, global_path=path)
+            frame = CorridorFrame(self.environment, start, self.goal,
+                                  global_path=path)
         else:
-            frame = ShiftFrame(self.environment, self.curr_state, self.goal,
+            frame = ShiftFrame(self.environment, start, self.goal,
                                self.frame_size, global_path=path)
-        frame.fill_obstacles(horizon_time=10.0)
         return frame
 
-    def _frame_signature(self, frame):
-        obs = frame.stationary_obstacles + frame.moving_obstacles
-        return (len(obs), tuple(type(o.shape).__name__ for o in obs))
-
-    def _make_frame_and_problem(self):
-        self.frame = self._make_frame()
-        frame = self.frame
-        sig = self._frame_signature(frame)
-        local_env = Environment(room=frame.room())
-        for obs in frame.stationary_obstacles + frame.moving_obstacles:
-            local_env.add_obstacle(obs)
-        self.vehicle.set_terminal_conditions(list(frame.goal))
-        if sig in self._problem_cache:
-            # reuse the compiled local problem; only parameters change
-            self.local_problem = self._problem_cache[sig]
-            self.local_problem.environment.obstacles = local_env.obstacles
-            self.local_problem.environment.room = local_env.room
-            self.local_problem.reinitialize()
+    def _create_frames(self):
+        path = self._global_path()
+        horizon = 10.0
+        if self.frame_type == "corridor" and self.n_frames >= 2:
+            frames = create_l_shape(self.environment, self.curr_state,
+                                    self.goal, path)
         else:
-            problem = FreeTPoint2point(self.vehicle, local_env,
-                                      {"verbose": 0})
-            problem.init()
-            self._problem_cache[sig] = problem
-            self.local_problem = problem
-        self.local_problem.initialize(0.0)
+            frames = []
+            start = self.curr_state
+            for _ in range(self.n_frames):
+                frame = self._single_frame(start, path)
+                frames.append(frame)
+                if frame.point_in_frame(self.goal):
+                    break
+                start = frame.goal
+                # path tail beyond the new start
+                dists = [np.linalg.norm(np.asarray(p) - start) for p in path]
+                path = path[int(np.argmin(dists)):] or path
+        for frame in frames:
+            frame.fill_obstacles(horizon_time=horizon)
+            frame.fix_endpoint_reachability(self.veh_size)
+        self.frames = frames
+        self._moving_ids = [f.moving_ids() for f in frames]
         self.cnt_frame_switches += 1
 
-    # -- frame management --------------------------------------------------
-    def _check_frame(self):
-        """Valid while the goal is in the frame or the vehicle is not yet
-        near the frame's local endpoint (reference :409-431)."""
-        if self.frame.point_in_frame(self.goal):
+    # -- obstacle slots + signature -----------------------------------------
+    @staticmethod
+    def _obs_class(obstacle):
+        chck, _ = obstacle.shape.get_checkpoints()
+        return (len(chck), getattr(obstacle, "cos", None) is not None,
+                bool(obstacle.options.get("spline_traj", False)))
+
+    def _frame_slots(self, frame):
+        """In-frame obstacles padded to slot quanta per checkpoint class:
+        (class -> [obstacles + dummies])."""
+        q = self.slot_quantum
+        classes: Dict = {}
+        for obs in frame.stationary_obstacles + frame.moving_obstacles:
+            classes.setdefault(self._obs_class(obs), []).append(obs)
+        slots: Dict = {}
+        far = frame.center + np.array([100.0 * max(frame.width, 10.0), 0.0])
+        for cls, members in classes.items():
+            n_pad = (-len(members)) % q
+            dummies = []
+            for _ in range(n_pad):
+                n_chck = cls[0]
+                shape = Circle(0.05) if n_chck == 1 else \
+                    Rectangle(width=0.1, height=0.1)
+                dummies.append(Obstacle({"position": list(far)}, shape=shape,
+                                        options={"avoid": True}))
+            slots[cls] = members + dummies
+        return slots
+
+    def _signature(self):
+        sig = [len(self.frames)]
+        for frame in self.frames:
+            slots = self._frame_slots(frame)
+            sig.append(tuple(sorted((cls, len(members))
+                             for cls, members in slots.items())))
+        return tuple(sig)
+
+    # -- local problem construction / reuse ---------------------------------
+    def _generate_problem(self, guess="waypoints", handdown=None):
+        """Build or re-target the local problem for the current frames
+        (reference generate_problem :700-730 -- here a cache keyed by the
+        structural signature; a hit is a pure parameter update)."""
+        frames = self.frames
+        sig = self._signature()
+        self.vehicle.set_terminal_conditions(list(frames[-1].goal))
+        if sig in self._problem_cache:
+            problem = self._problem_cache[sig]
+            self._retarget(problem)
+        else:
+            rooms = []
+            local_obstacles = []
+            for frame in frames:
+                room = frame.room()
+                room["parametric"] = True
+                slots = self._frame_slots(frame)
+                room_obs = []
+                for members in slots.values():
+                    for obs in members:
+                        tmpl = Obstacle(dict(obs.initial), obs.shape,
+                                        options=dict(obs.options))
+                        tmpl.source = obs
+                        room_obs.append(tmpl)
+                room["obstacles"] = room_obs
+                local_obstacles += room_obs
+                rooms.append(room)
+            local_env = Environment(room=rooms)
+            local_env.obstacles = local_obstacles
+            local_env.n_obs = len(local_obstacles)
+            if len(frames) == 1:
+                problem = FreeTPoint2point(self.vehicle, local_env,
+                                           {"verbose": 0})
+            else:
+                problem = MultiFrameProblem(self.vehicle, local_env,
+                                            n_frames=len(frames),
+                                            options={"verbose": 0})
+            problem.init()
+            self._problem_cache[sig] = problem
+            self.cnt_problem_builds += 1
+            self._retarget(problem, structure_fresh=True)
+        self.local_problem = problem
+        self._set_init_guess(guess=guess, handdown=handdown)
+        self.local_problem.initialize(0.0)
+
+    def _retarget(self, problem, structure_fresh=False):
+        """Point a (possibly cached) local problem at the current frames:
+        update the parametric room borders and re-source every obstacle
+        slot.  No transcription rebuild happens here."""
+        frames = self.frames
+        env = problem.environment
+        for idx, frame in enumerate(frames):
+            room = env.room[idx]
+            new_room = frame.room()
+            room["shape"] = new_room["shape"]
+            room["position"] = new_room["position"]
+            slots = self._frame_slots(frame)
+            flat = [obs for members in slots.values() for obs in members]
+            tmpl_list = room.get("obstacles", env.obstacles)
+            far = frame.center + np.array([100.0 * max(frame.width, 10.0),
+                                           0.0])
+            for tmpl, src in zip(tmpl_list, flat + [None] * max(
+                    0, len(tmpl_list) - len(flat))):
+                if structure_fresh and getattr(tmpl, "source", None) is not None:
+                    continue  # fresh build already wired the sources
+                if src is not None:
+                    tmpl.source = src
+                else:
+                    tmpl.source = Obstacle({"position": list(far)},
+                                           shape=tmpl.shape)
+        problem.reinitialize()
+
+    # -- init guesses (reference :563-698) ----------------------------------
+    def _waypoint_guess(self, frame):
+        """Linear arc-length interpolation of the in-frame global-path
+        waypoints, evaluated at the vehicle basis' Greville abscissae
+        (reference get_init_guess_new_frame :563-658).  Returns
+        (coeffs (n_c, 2), motion_time_estimate)."""
+        basis = self.vehicle.basis
+        pts = [np.asarray(frame.start, dtype=np.float64)]
+        pts += [np.asarray(w) for w in
+                frame.waypoints_in_frame(frame.global_path or [])]
+        pts += [np.asarray(frame.goal, dtype=np.float64)]
+        pts = np.asarray(pts)
+        seg = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        cum = np.r_[0.0, np.cumsum(seg)]
+        length = max(cum[-1], 1e-9)
+        g = basis.greville()
+        coeffs = np.stack([np.interp(g * length, cum, pts[:, k])
+                           for k in range(2)], axis=1)
+        vmax = getattr(self.vehicle, "vmax", 0.5)
+        motion_time = length / max(0.5 * vmax, 1e-6)
+        return coeffs, motion_time
+
+    def _set_init_guess(self, guess="waypoints", handdown=None):
+        """Install init guesses into the local problem's warm start:
+        ``handdown`` carries (coeffs, T) per already-solved frame from the
+        previous problem (frame-shift hand-off); remaining frames get
+        waypoint-interpolation guesses."""
+        problem = self.local_problem
+        tr = problem.transcription
+        n_seg = problem.n_frames if isinstance(problem, MultiFrameProblem) \
+            else 1
+        for k in range(min(n_seg, len(self.frames))):
+            if handdown is not None and k < len(handdown):
+                coeffs, T_k = handdown[k]
+            else:
+                coeffs, T_k = self._waypoint_guess(self.frames[k])
+            sl, shape = tr.var_slice(self.vehicle, f"splines_seg{k}")
+            buf = np.zeros(shape)
+            buf[:, :coeffs.shape[1]] = coeffs
+            problem._x_result[sl] = buf.reshape(-1)
+            name = f"T{k}" if n_seg > 1 else "T"
+            try:
+                problem.set_variables(np.asarray([T_k]), problem, name)
+            except KeyError:
+                pass
+
+    def _handdown_guess(self):
+        """Segment hand-down on a frame shift: the previous problem's
+        segment k+1 becomes the new segment k guess (the analog of the
+        reference's combined-frame re-projection :660-698, exact here
+        because segment bases are shared)."""
+        problem = self.local_problem
+        if not isinstance(problem, MultiFrameProblem):
+            return None
+        times = problem.segment_times()
+        out = []
+        for k in range(1, len(self.frames) + 1):
+            try:
+                coeffs = problem.get_variables(self.vehicle,
+                                               f"splines_seg{k}")
+            except KeyError:
+                break
+            out.append((np.asarray(coeffs)[:, :2], times[k]))
+        return out or None
+
+    # -- frame management ----------------------------------------------------
+    def _membership_changed(self):
+        """Moving-obstacle membership re-check (reference :138-209)."""
+        for frame, ids in zip(self.frames, self._moving_ids):
+            current = set()
+            for obstacle in self.environment.obstacles:
+                if not obstacle.options.get("avoid", True):
+                    continue
+                inside, moving = frame.obstacle_in_frame(obstacle,
+                                                         horizon_time=10.0)
+                if inside and moving:
+                    current.add(id(obstacle))
+            if current != ids:
+                return True
+        return False
+
+    def _check_frames(self):
+        """True while the current frames stay valid (reference :409-431):
+        multi-frame -> switch when the vehicle enters the overlap region;
+        single frame -> valid while the goal is inside or the vehicle is
+        still far from the frame endpoint."""
+        if self.frames[-1].point_in_frame(self.goal) and \
+                len(self.frames) == 1:
             return True
-        dist = np.linalg.norm(self.curr_state - self.frame.goal)
-        return dist > 0.25 * max(self.frame.width, self.frame.height) * 0.5
+        if len(self.frames) >= 2:
+            in0 = self.frames[0].point_in_frame(self.curr_state)
+            in1 = self.frames[1].point_in_frame(self.curr_state)
+            if in0 and in1:
+                return False     # inside the overlap: hand off
+            if not in0:
+                return False     # passed beyond frame 0 entirely
+            return True
+        dist = np.linalg.norm(self.curr_state - self.frames[0].goal)
+        return dist > 0.25 * max(self.frames[0].width,
+                                 self.frames[0].height) * 0.5
+
+    def _shift_frames(self):
+        """Drop frame 0, append a new last frame continuing along the
+        global path (reference update_frames :433-479)."""
+        handdown = self._handdown_guess()
+        path = self._global_path()
+        last = self.frames[-1]
+        if last.point_in_frame(self.goal):
+            self.frames = self.frames[1:]
+        else:
+            start = last.goal
+            dists = [np.linalg.norm(np.asarray(p) - start) for p in path]
+            tail = path[int(np.argmin(dists)):] or path
+            new = self._single_frame(start, tail)
+            new.fill_obstacles(horizon_time=10.0)
+            new.fix_endpoint_reachability(self.veh_size)
+            self.frames = self.frames[1:] + [new]
+        self._moving_ids = [f.moving_ids() for f in self.frames]
+        self.cnt_frame_switches += 1
+        self._generate_problem(guess="waypoints", handdown=handdown)
 
     # -- lifecycle ---------------------------------------------------------
     def initialize(self, current_time):
@@ -127,8 +374,18 @@ class SchedulerProblem(Problem):
     def solve(self, current_time, update_time):
         self.curr_state = np.asarray(self.vehicle.prediction["state"][:2],
                                      dtype=np.float64)
-        if not self._check_frame():
-            self._make_frame_and_problem()
+        if self._membership_changed():
+            self._create_frames()
+            self._generate_problem(guess="waypoints")
+            self.local_problem.initialize(current_time)
+            self.local_problem.predict(current_time, update_time, 0.01,
+                                       enforce_states=True)
+        elif not self._check_frames():
+            if len(self.frames) >= 2:
+                self._shift_frames()
+            else:
+                self._create_frames()
+                self._generate_problem(guess="waypoints")
             self.local_problem.initialize(current_time)
             self.local_problem.predict(current_time, update_time, 0.01,
                                        enforce_states=True)
@@ -141,11 +398,14 @@ class SchedulerProblem(Problem):
         self.local_problem.store(current_time, update_time, sample_time)
 
     def simulate(self, current_time, simulation_time, sample_time):
+        # the local problem simulates the vehicle (its template obstacles
+        # are slot proxies); the GLOBAL environment is the obstacle truth
         self.local_problem.simulate(current_time, simulation_time,
                                     sample_time)
+        self.environment.simulate(simulation_time, sample_time)
 
     def stop_criterium(self, current_time, update_time):
-        if not self.frame.point_in_frame(self.goal):
+        if not self.frames[-1].point_in_frame(self.goal):
             return False
         return self.local_problem.stop_criterium(current_time, update_time)
 
@@ -159,4 +419,5 @@ class SchedulerProblem(Problem):
         if self.options["verbose"] >= 1:
             print("\nWe reached our target!")
             print("%-18s %d" % ("Frame switches:", self.cnt_frame_switches))
+            print("%-18s %d" % ("Problem builds:", self.cnt_problem_builds))
         self.local_problem.final()

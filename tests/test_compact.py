@@ -12,6 +12,8 @@ from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle, Square,
 from omg_tools_tpu.ops.compact import (build_compact, resolve_phase,
                                        CompactWork)
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture(scope="module")
 def runner_pair():

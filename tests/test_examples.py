@@ -17,6 +17,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
 ALL_EXAMPLES = sorted(

@@ -13,6 +13,8 @@ from omg_tools_tpu import (Holonomic, Environment, Obstacle, Rectangle,
                            Circle, Square, Point2point)
 from omg_tools_tpu.export.export_p2p import ExportP2P
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
 def test_export_formation_build_run():

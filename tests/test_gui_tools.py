@@ -10,6 +10,8 @@ from omg_tools_tpu.ops.basis import clamped_basis
 from omg_tools_tpu.ops.spline import (BSpline, circle_arc_splines,
                                       sample_spline)
 
+pytestmark = pytest.mark.fast
+
 SVG = """<?xml version="1.0"?>
 <svg xmlns="http://www.w3.org/2000/svg" width="100" height="80">
   <rect x="10" y="10" width="20" height="10"/>

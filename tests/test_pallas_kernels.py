@@ -8,6 +8,8 @@ import pytest
 
 from omg_tools_tpu.ops.pallas_kernels import batched_psd_solve, psd_solve
 
+pytestmark = pytest.mark.fast
+
 
 def _spd_batch(B, n, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)

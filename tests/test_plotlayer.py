@@ -16,6 +16,8 @@ matplotlib.use("Agg")
 from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle, Square,
                            Point2point)
 
+pytestmark = pytest.mark.fast
+
 
 @pytest.fixture()
 def scene(tmp_path):

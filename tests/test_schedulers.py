@@ -10,6 +10,8 @@ from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle,
                            SchedulerProblem, AStarPlanner, Tool, GCodeReader,
                            GCodeSchedulerProblem, Simulator)
 
+pytestmark = pytest.mark.slow
+
 
 def test_astar_avoids_obstacle():
     env = Environment(room={"shape": Square(10.0)})
@@ -59,16 +61,16 @@ def test_scheduler_frames_and_solve():
                                n_cells=[20, 20])
     problem.set_options({"verbose": 0})
     problem.init()
-    assert problem.frame is not None
-    assert problem.frame.point_in_frame([-4.0, -4.0])
+    assert problem.frames
+    assert problem.frames[0].point_in_frame([-4.0, -4.0])
     sim = Simulator(problem)
     problem.initialize(0.0)
     for _ in range(2):
         sim.update()
     # progressing toward the first frame goal
-    d0 = np.linalg.norm(np.array([-4.0, -4.0]) - problem.frame.goal)
+    d0 = np.linalg.norm(np.array([-4.0, -4.0]) - problem.frames[0].goal)
     d1 = np.linalg.norm(vehicle.signals["state"][:2, -1]
-                        - np.asarray(problem.frame.goal))
+                        - np.asarray(problem.frames[0].goal))
     assert d1 < d0
 
 
@@ -91,3 +93,35 @@ def test_gcode_pipeline():
     pos = tool.signals["state"][:2, -1]
     assert abs(pos[1]) < 0.25          # stays in the Y-tolerance tube
     assert problem.solver_stats["feas"] < 1e-3
+
+
+def test_scheduler_two_frames_corridor():
+    """schedulerproblem_example2-style run: long corridor path, 2-frame
+    MultiFrameProblem local problems, overlap hand-off, compiled-problem
+    reuse (< 3 distinct builds)."""
+    vehicle = Holonomic(shapes=Circle(0.1))
+    vehicle.set_initial_conditions([-4.0, -4.0])
+    vehicle.set_terminal_conditions([4.0, 4.0])
+    env = Environment(room={"shape": Square(10.0)})
+    env.add_obstacle(Obstacle({"position": [-2.0, 0.5]},
+                              shape=Circle(0.5)))
+    env.add_obstacle(Obstacle({"position": [1.5, -1.5]},
+                              shape=Circle(0.5)))
+    problem = SchedulerProblem(vehicle, env, frame_size=4.0, n_frames=2,
+                               n_cells=[20, 20])
+    problem.set_options({"verbose": 0})
+    problem.init()
+    assert len(problem.frames) >= 1
+    sim = Simulator(problem)
+    problem.initialize(0.0)
+    reached = False
+    for _ in range(140):
+        if sim.update():
+            reached = True
+            break
+    final = vehicle.signals["state"][:2, -1]
+    dist = np.linalg.norm(final - np.array([4.0, 4.0]))
+    assert reached or dist < 0.5, f"stopped {dist:.2f} m from goal"
+    assert problem.cnt_problem_builds < 3, (
+        f"{problem.cnt_problem_builds} problem builds -- compiled reuse "
+        "regressed")

@@ -7,6 +7,8 @@ import pytest
 
 from omg_tools_tpu.ops.solver import make_ip_solver, IPOptions, BIG
 
+pytestmark = pytest.mark.fast
+
 
 def test_qp_inequality():
     # min x^2 + y^2  s.t. x + y >= 1  -> (0.5, 0.5)

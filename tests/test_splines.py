@@ -15,6 +15,8 @@ from omg_tools_tpu.ops.spline import (
     BSpline, evalspline, running_integral, definite_integral, sample_spline,
     eval_basis_traced)
 
+pytestmark = pytest.mark.fast
+
 RNG = np.random.default_rng(0)
 
 

@@ -10,6 +10,8 @@ from omg_tools_tpu import (Holonomic, Holonomic1D, Holonomic3D,
                            Obstacle, Circle, Square, Rectangle, Cube, Sphere,
                            Point2point)
 
+pytestmark = pytest.mark.slow
+
 
 def cold_solve(problem, vehicle):
     problem.set_options({"verbose": 0})

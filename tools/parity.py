@@ -1,0 +1,194 @@
+#!/usr/bin/env python
+"""Trajectory-parity harness vs the independent CPU reference solver.
+
+BASELINE.md's parity target: closed-loop control sequences of the TPU
+solver must match a trusted reference NLP solver within tolerance at the
+10 Hz regime (the reference framework anchors on CasADi+Ipopt,
+/root/reference/omgtools/problems/problem.py:113; CasADi is unavailable
+here, so scipy SLSQP fills the role -- see omg_tools_tpu/ops/refsolver.py).
+
+Two harnesses:
+
+- ``closedloop_parity``: the full host Simulator loop (predict -> solve ->
+  store -> plant simulate) run twice on the canonical p2p_holonomic
+  configuration, once with the ALM backend and once with the scipy
+  reference; compares sampled state/input signals.
+
+- ``rollout_parity``: the bench hot path -- the batched on-device rollout
+  (problems/batch.BatchedP2PRunner) for one scenario vs an exact host
+  replication of the same rollout scheme (same warm-start shift matrix,
+  same ideal plant update, same obstacle propagation) driven by reference
+  solves.  This is what gates bench.py.
+
+Run directly:  python tools/parity.py [--steps N] [--outer K]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
+
+def build_p2p_holonomic(backend="alm", solver_options=None, start=None,
+                        goal=None):
+    """The canonical bench configuration (readme example: two rectangles +
+    one circle, fixed 10 s horizon)."""
+    from omg_tools_tpu import (Holonomic, Environment, Obstacle, Rectangle,
+                               Circle, Square, Point2point)
+    vehicle = Holonomic()
+    vehicle.set_initial_conditions(list(start) if start is not None
+                                   else [-1.5, -1.5])
+    vehicle.set_terminal_conditions(list(goal) if goal is not None
+                                    else [2.0, 2.0])
+    environment = Environment(room={"shape": Square(5.0)})
+    environment.add_obstacle(Obstacle(
+        {"position": [-2.1, -0.5]}, shape=Rectangle(width=3.0, height=0.2)))
+    environment.add_obstacle(Obstacle(
+        {"position": [1.7, -0.5]}, shape=Rectangle(width=3.0, height=0.2)))
+    environment.add_obstacle(Obstacle(
+        {"position": [1.5, 0.5]}, shape=Circle(0.4)))
+    problem = Point2point(vehicle, environment, freeT=False)
+    opts = {"verbose": 0, "solver": backend}
+    if solver_options:
+        opts["solver_options"] = solver_options
+    problem.set_options(opts)
+    problem.init()
+    return problem
+
+
+def closedloop_parity(n_steps=20, solver_options=None):
+    """Run the host closed loop with ALM and with the scipy reference;
+    return max state/input deviation over the executed trajectory."""
+    from omg_tools_tpu.execution.simulator import Simulator
+
+    signals = {}
+    for backend in ("alm", "scipy"):
+        problem = build_p2p_holonomic(backend, solver_options)
+        simulator = Simulator(problem)
+        simulator.deployer.reset()
+        for _ in range(n_steps):
+            simulator.update()
+        veh = problem.vehicles[0]
+        signals[backend] = {k: np.asarray(v, dtype=np.float64)
+                            for k, v in veh.signals.items()}
+    n = min(signals["alm"]["state"].shape[1],
+            signals["scipy"]["state"].shape[1])
+    d_state = np.max(np.abs(signals["alm"]["state"][:, :n]
+                            - signals["scipy"]["state"][:, :n]))
+    d_input = np.max(np.abs(signals["alm"]["input"][:, :n]
+                            - signals["scipy"]["input"][:, :n]))
+    return {"state_max_err": float(d_state),
+            "input_max_err": float(d_input),
+            "n_samples": int(n)}
+
+
+def _reference_rollout(runner, x0, p0, n_steps):
+    """Host replication of BatchedP2PRunner.rollout_fn for ONE scenario,
+    with every NLP solved by the scipy reference solver (raw units, f64)."""
+    from omg_tools_tpu.ops.refsolver import make_ref_solver
+
+    tr = runner.tr
+    solve = make_ref_solver(tr.objective, tr.constraints, tr.n_x,
+                            tr.lb, tr.ub)
+    lb, ub = tr.bounds(0.0)
+    lb = np.asarray(lb, dtype=np.float64)
+    ub = np.asarray(ub, dtype=np.float64)
+    M = np.asarray(runner.shift_M, dtype=np.float64)
+    E0 = np.asarray(runner.E0, dtype=np.float64)
+    E1 = np.asarray(runner.E1, dtype=np.float64)
+    spk = runner.steps_per_knot
+    dt = runner.update_time
+    n_coef, n_spl = runner.spline_shape
+
+    x = np.asarray(x0, dtype=np.float64).copy()
+    p = np.asarray(p0, dtype=np.float64).copy()
+    states, inputs, feas = [], [], []
+    for k in range(n_steps):
+        phase = k % spk
+        if phase == 0 and k > 0:
+            x = M @ x
+        p[runner.i_t] = phase * dt
+        st = solve(x, p, lb, ub)
+        x = st.x
+        feas.append(float(st.feas))
+        cfs = x[runner.i_splines].reshape(n_coef, n_spl)
+        state = E0[phase + 1] @ cfs
+        inp = E1[phase + 1] @ cfs / runner.horizon
+        states.append(state)
+        inputs.append(inp)
+        p[runner.i_state0] = state
+        p[runner.i_input0] = inp
+        for (ix, iv, ia) in runner.obstacle_idx:
+            pos, vel, acc = p[ix].copy(), p[iv].copy(), p[ia].copy()
+            p[ix] = pos + vel * dt + 0.5 * acc * dt * dt
+            p[iv] = vel + acc * dt
+    return (np.asarray(states), np.asarray(inputs), np.asarray(feas))
+
+
+def rollout_parity(runner, n_steps=20, outer_iter=1, start=None, goal=None,
+                   device_states=None, x0p0=None):
+    """Device-rollout vs reference-rollout parity for one scenario.
+
+    ``device_states``: optionally reuse already-computed device states
+    (n_steps, n_spl) for the scenario whose (x0, p0) are in ``x0p0`` --
+    bench.py passes scenario 0 of its timing batch.  Otherwise a fresh
+    single-scenario rollout is executed here."""
+    import jax
+    import jax.numpy as jnp
+
+    start = np.asarray(start if start is not None else [-1.5, -1.5])
+    goal = np.asarray(goal if goal is not None else [2.0, 2.0])
+
+    if device_states is None:
+        x0, p0, state = runner.make_batch(start[None, :], goal[None, :])
+        consts = jax.device_put(runner.consts())
+        st = jax.jit(runner.init_solver_state)(x0, p0, consts)
+        roll = jax.jit(runner.rollout_fn(n_steps, outer_iter=outer_iter))
+        carry, states = roll(st, p0, state, consts)
+        device_states = np.asarray(states[0], dtype=np.float64)
+        x0p0 = (np.asarray(x0[0]), np.asarray(p0[0]))
+
+    ref_states, ref_inputs, ref_feas = _reference_rollout(
+        runner, x0p0[0], x0p0[1], n_steps)
+    d = np.abs(device_states[:n_steps] - ref_states)
+    return {"parity_max_err": float(np.max(d)),
+            "parity_final_err": float(np.max(d[-1])),
+            "ref_feas_max": float(np.max(ref_feas)),
+            "ref_states": ref_states,
+            "device_states": device_states}
+
+
+def main():
+    import argparse
+    import jax.numpy as jnp
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--outer", type=int, default=1)
+    parser.add_argument("--mode", choices=["rollout", "closedloop", "both"],
+                        default="rollout")
+    args = parser.parse_args()
+
+    if args.mode in ("rollout", "both"):
+        from omg_tools_tpu.problems.batch import BatchedP2PRunner
+        problem = build_p2p_holonomic("alm")
+        runner = BatchedP2PRunner(problem, dtype=jnp.float32)
+        res = rollout_parity(runner, n_steps=args.steps,
+                             outer_iter=args.outer)
+        print(f"[rollout  parity] outer={args.outer} steps={args.steps} "
+              f"max_err={res['parity_max_err']:.4f} "
+              f"final_err={res['parity_final_err']:.4f} "
+              f"ref_feas_max={res['ref_feas_max']:.2e}")
+    if args.mode in ("closedloop", "both"):
+        res = closedloop_parity(n_steps=args.steps)
+        print(f"[closedloop parity] steps={args.steps} "
+              f"state_max_err={res['state_max_err']:.4f} "
+              f"input_max_err={res['input_max_err']:.4f}")
+
+
+if __name__ == "__main__":
+    main()
