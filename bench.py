@@ -158,6 +158,7 @@ def main():
         "feas_p50": float(np.median(feas)),
         "feas_max": float(np.max(feas)),
         "feas_raw_p50": float(np.median(feas_raw)),
+        "feas_raw_p99": float(np.percentile(feas_raw, 99)),
         "feas_raw_max": float(np.max(feas_raw)),
         "n_iter_p50": float(np.median(np.asarray(carry[0].n_iter))),
         "n_iter_max": int(np.max(np.asarray(carry[0].n_iter))),

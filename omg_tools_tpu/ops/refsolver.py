@@ -129,6 +129,26 @@ def make_ref_solver(f: Callable, g: Callable, n_x: int,
                     best = cand
                 if best[1] <= feas_ok:
                     break
+        # polish: SLSQP restarted at its own best iterate (fresh BFGS
+        # estimate) usually clears the residual infeasibility it plateaus
+        # at after a knot-passage shift
+        for _ in range(2):
+            if best[1] <= feas_ok:
+                break
+            cand = _try(best[0])
+            total_nit += cand[3]
+            if cand[1] < best[1] or (cand[1] <= feas_ok
+                                     and cand[2] < best[2]):
+                best = cand
+            else:
+                break
+        # last resort: an independent interior-point restoration
+        if best[1] > feas_ok:
+            cand = _try(best[0], method="trust-constr")
+            total_nit += cand[3]
+            if cand[1] < best[1] or (cand[1] <= feas_ok
+                                     and cand[2] < best[2]):
+                best = cand
         x, feas, fval, _ = best
         return RefState(x=x, feas=np.float64(feas),
                         stat=np.float64(0.0 if feas <= feas_ok else 1.0),

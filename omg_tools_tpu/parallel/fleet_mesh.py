@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh_dual_update", "shard_fleet_state"]
+__all__ = ["make_mesh_dual_update", "shard_fleet_state",
+           "build_local_dual_update"]
 
 
 def shard_fleet_state(mesh, axis, *arrays):
@@ -37,11 +38,13 @@ def shard_fleet_state(mesh, axis, *arrays):
     return tuple(out)
 
 
-def make_mesh_dual_update(admm_problem, mesh: Mesh, axis: str = "fleet",
-                          outer_iter: int = 4):
-    """Build the sharded one-iteration ADMM update for an initialized
-    ADMMProblem (N > 2, circular graph).  N must be divisible by the mesh
-    axis size."""
+def build_local_dual_update(admm_problem, axis: str, n_dev: int,
+                            outer_iter: int = 4):
+    """The per-device block update for the circular-graph consensus ADMM,
+    to be wrapped in a shard_map whose mesh has `axis` of size n_dev.
+    Returns (_local, rel) where _local(X, Pp, Z, L, rel_l) advances one
+    iteration on a device-local block of vehicles and rel is the (N, n_sh)
+    per-vehicle shared-offset table to shard alongside the state."""
     ap = admm_problem
     assert ap.N > 2, "mesh path expects the N>2 circular layout"
     assert len(ap.groups) == 1, "mesh path expects a homogeneous fleet"
@@ -56,7 +59,6 @@ def make_mesh_dual_update(admm_problem, mesh: Mesh, axis: str = "fleet",
     # mesh path advances whole knot intervals in the init phase
     z_proj = jnp.asarray(ap._projection_for(None))
     rel = jnp.asarray(np.stack([ap._rel_offsets(i) for i in range(ap.N)]))
-    n_dev = mesh.shape[axis]
     assert ap.N % n_dev == 0, "fleet size must divide the mesh axis"
     perm_fwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]  # pull from next
     perm_bwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]  # pull from prev
@@ -91,6 +93,18 @@ def make_mesh_dual_update(admm_problem, mesh: Mesh, axis: str = "fleet",
         pri = jax.lax.pmax(pri, axis)
         dua = jax.lax.pmax(dua, axis)
         return Xn, Zn, Ln, pri, dua
+
+    return _local, rel
+
+
+def make_mesh_dual_update(admm_problem, mesh: Mesh, axis: str = "fleet",
+                          outer_iter: int = 4):
+    """Build the sharded one-iteration ADMM update for an initialized
+    ADMMProblem (N > 2, circular graph).  N must be divisible by the mesh
+    axis size."""
+    n_dev = mesh.shape[axis]
+    _local, rel = build_local_dual_update(admm_problem, axis, n_dev,
+                                          outer_iter=outer_iter)
 
     sharded = jax.shard_map(
         _local, mesh=mesh,

@@ -24,8 +24,11 @@ def enable_host_backend():
 
 
 def host_device():
+    # local_devices, not devices: under multi-host (jax.distributed) the
+    # global device list starts with host 0's devices, whose values are
+    # non-addressable from every other process
     try:
-        return jax.devices("cpu")[0]
+        return jax.local_devices(backend="cpu")[0]
     except Exception:
         return None
 
