@@ -1,0 +1,25 @@
+"""Machine a stair profile from a .nc part program: the tool center must
+stay inside per-segment tolerance tubes; motion times come from the
+bang-bang jerk guess + S-curve estimate (reference
+examples/GCode_examples/gcodeproblem_benchmark_stair.py)."""
+import os, sys
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..', '..'))  # repo-root import
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                '..'))
+from omg_tools_tpu import Tool, GCodeReader, GCodeSchedulerProblem, Simulator
+from _smoke import run
+
+reader = GCodeReader()
+reader.load_file(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "stair.nc"))
+blocks = reader.parse()
+tool = Tool(tolerance=0.3)
+tool.define_knots(knot_intervals=5)
+tool.set_initial_conditions(blocks[0].start)
+problem = GCodeSchedulerProblem(tool, blocks, n_segments=2)
+problem.set_options({"verbose": 0})
+problem.init()
+run(problem, Simulator(problem, sample_time=0.002, update_time=0.02))
+print("gcode stair: final", tool.signals["pose"][:3, -1],
+      "segments:", len(blocks))

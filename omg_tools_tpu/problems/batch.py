@@ -408,7 +408,8 @@ class BatchedP2PRunner:
                                                       Q=C.Q))
         return solve(x0, p0)
 
-    def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3):
+    def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3,
+                   rescue_lanes=0, rescue_outer=3, rescue_tol=1e-3):
         """Return a jittable function
         (alm_state, p, state, consts) -> (final carry, per-step states)
         advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
@@ -420,7 +421,16 @@ class BatchedP2PRunner:
         scenarios whose raw constraint violation exceeds the tolerance get a
         masked warm-start reset -- straight-line spline guess from the
         current state to the goal, multipliers zeroed, penalty re-armed --
-        instead of rolling garbage forward."""
+        instead of rolling garbage forward.
+
+        ``rescue_lanes``: the f32 batch-tail fix.  After the main batched
+        solve, the ``rescue_lanes`` worst scenarios by raw violation (and
+        above ``rescue_tol``) are gathered into a small static-shape side
+        batch, re-solved with ``rescue_outer`` extra ALM outer rounds, and
+        scattered back BEFORE the plant update -- so the handful of hard
+        scenarios in a 4096-lane batch get 4x the solver effort at ~K/B
+        relative cost instead of dragging the whole batch's feasibility
+        tail.  0 disables."""
         spk = self.steps_per_knot
         dt = self.update_time
         solver = self.solver
@@ -437,7 +447,17 @@ class BatchedP2PRunner:
         cA_at = self._cA_at
         default_consts = self.consts
 
-        def one_scenario_step(C, carry, k):
+        def _solve(C, st_in, x_warm, p, phase, n_outer):
+            if compact is not None:
+                from ..ops.compact import resolve_phase
+                ct = resolve_phase(compact, C.CT, phase, p)
+                return solver(x_warm, p, C.lb, C.ub, state0=st_in,
+                              outer_iter=n_outer, ct=ct)
+            cA = cA_at(C, phase, p) if affine else None
+            return solver(x_warm, p, C.lb, C.ub, state0=st_in,
+                          outer_iter=n_outer, cA=cA, Q=C.Q)
+
+        def solve_step(C, carry, k):
             st, p, state = carry
             phase = k % spk
             # knot passage: shift the warm start (k > 0 and phase == 0)
@@ -456,17 +476,13 @@ class BatchedP2PRunner:
                                feas=jnp.full_like(st.feas, jnp.inf),
                                stat=jnp.full_like(st.stat, jnp.inf),
                                n_iter=jnp.zeros_like(st.n_iter))
-            if compact is not None:
-                from ..ops.compact import resolve_phase
-                ct = resolve_phase(compact, C.CT, phase, p)
-                st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
-                            outer_iter=outer_iter, ct=ct)
-            else:
-                cA = cA_at(C, phase, p) if affine else None
-                st = solver(x_warm, p, C.lb, C.ub, state0=st_in,
-                            outer_iter=outer_iter, cA=cA, Q=C.Q)
+            st = _solve(C, st_in, x_warm, p, phase, outer_iter)
+            return st, p, state
+
+        def plant_step(C, st, p, state, k):
             # ideal plant update: vehicle recipe maps the solved splines at
             # the next sample instant back into the parameter vector
+            phase = k % spk
             cfs = st.x[i_spl].reshape(n_coef, n_spl)
             row = phase + 1
             p, state_n = model.update(p, cfs, row, horizon)
@@ -479,12 +495,37 @@ class BatchedP2PRunner:
 
         def rollout(st, p, state, consts: Optional[RolloutConsts] = None):
             C = consts if consts is not None else default_consts()
-            batched = jax.vmap(one_scenario_step,
-                               in_axes=(None, (0, 0, 0), None),
-                               out_axes=((0, 0, 0), 0))
+            batched_solve = jax.vmap(solve_step,
+                                     in_axes=(None, (0, 0, 0), None),
+                                     out_axes=(0, 0, 0))
+            batched_plant = jax.vmap(plant_step,
+                                     in_axes=(None, 0, 0, 0, None),
+                                     out_axes=((0, 0, 0), 0))
+            rescue_solve = jax.vmap(
+                lambda st_r, p_r, phase: _solve(C, st_r, st_r.x, p_r, phase,
+                                                rescue_outer))
 
             def scan_body(carry, k):
-                carry, out = batched(C, carry, k)
+                st, p, state = batched_solve(C, carry, k)
+                if rescue_lanes:
+                    # gather the worst lanes, re-solve with extra outer
+                    # rounds, keep whichever iterate is more feasible
+                    _, idx = jax.lax.top_k(st.feas_raw, rescue_lanes)
+                    st_r = jax.tree_util.tree_map(lambda a: a[idx], st)
+                    phase = jnp.broadcast_to(k % spk, (rescue_lanes,))
+                    st_r2 = rescue_solve(st_r, p[idx], phase)
+                    take = (st_r.feas_raw > rescue_tol) & \
+                        (st_r2.feas_raw < st_r.feas_raw)
+
+                    def blend(a, b):
+                        m = take.reshape((-1,) + (1,) * (a.ndim - 1)) \
+                            if a.ndim > 1 else take
+                        return jnp.where(m, b, a)
+
+                    st_rm = jax.tree_util.tree_map(blend, st_r, st_r2)
+                    st = jax.tree_util.tree_map(
+                        lambda a, b: a.at[idx].set(b), st, st_rm)
+                carry, out = batched_plant(C, st, p, state, k)
                 return carry, out
 
             carry, states = jax.lax.scan(scan_body, (st, p, state),

@@ -222,3 +222,36 @@ def test_psd_solve_multi_cpu_fallback():
     want = np.stack([[np.linalg.solve(D[b, j], G[b, j]) for j in range(k)]
                      for b in range(B)])
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-8)
+
+
+def test_rescue_lanes_rollout(runner_pair):
+    """The worst-K rescue pass (rollout_fn rescue_lanes): trajectories stay
+    valid, the feasibility tail never degrades, and with every lane below
+    the rescue tolerance the rescue is a no-op."""
+    prob, runner = runner_pair
+    B = 8
+    rng = np.random.default_rng(3)
+    starts = np.tile([-1.5, -1.5], (B, 1)) + rng.uniform(-0.2, 0.2, (B, 2))
+    goals = np.tile([2.0, 2.0], (B, 1)) + rng.uniform(-0.2, 0.2, (B, 2))
+    x0, p0, state = runner.make_batch(starts, goals)
+    consts = runner.consts()
+    st = runner.init_solver_state(x0, p0, consts)
+    roll0 = jax.jit(runner.rollout_fn(3, outer_iter=1))
+    carry0, states0 = roll0(st, p0, state, consts)
+    roll_r = jax.jit(runner.rollout_fn(3, outer_iter=1, rescue_lanes=2,
+                                       rescue_outer=2))
+    carry_r, states_r = roll_r(st, p0, state, consts)
+    fr0 = np.asarray(carry0[0].feas_raw)
+    frr = np.asarray(carry_r[0].feas_raw)
+    # rescue keeps the better iterate, so no lane's violation grows beyond
+    # the tolerance band
+    assert np.max(frr) <= max(np.max(fr0) * (1 + 1e-6), 1e-3)
+    # scenarios still progress toward their goals
+    d0 = np.linalg.norm(starts - goals, axis=1)
+    d1 = np.linalg.norm(np.asarray(states_r)[:, -1] - goals, axis=1)
+    assert np.all(d1 < d0)
+    # f64 lanes already below rescue_tol: rescued trajectories match
+    if np.max(fr0) < 1e-3:
+        np.testing.assert_allclose(np.asarray(states_r),
+                                   np.asarray(states0), rtol=1e-6,
+                                   atol=1e-6)

@@ -89,8 +89,13 @@ def closedloop_parity(n_steps=20, solver_options=None):
 
 def _reference_rollout(runner, x0, p0, n_steps):
     """Host replication of BatchedP2PRunner.rollout_fn for ONE scenario,
-    with every NLP solved by the scipy reference solver (raw units, f64)."""
+    with every NLP solved by the scipy reference solver (raw units, f64).
+    The plant update goes through the runner's model recipe
+    (problems/rollout_models.py), so every vehicle family with a rollout
+    model -- Holonomic, Dubins, Quadrotor/3D -- gets the same reference."""
+    import jax.numpy as jnp
     from omg_tools_tpu.ops.refsolver import make_ref_solver
+    from omg_tools_tpu.utils.devices import on_host
 
     tr = runner.tr
     solve = make_ref_solver(tr.objective, tr.constraints, tr.n_x,
@@ -99,11 +104,10 @@ def _reference_rollout(runner, x0, p0, n_steps):
     lb = np.asarray(lb, dtype=np.float64)
     ub = np.asarray(ub, dtype=np.float64)
     M = np.asarray(runner.shift_M, dtype=np.float64)
-    E0 = np.asarray(runner.E0, dtype=np.float64)
-    E1 = np.asarray(runner.E1, dtype=np.float64)
     spk = runner.steps_per_knot
     dt = runner.update_time
     n_coef, n_spl = runner.spline_shape
+    model = runner.model
 
     x = np.asarray(x0, dtype=np.float64).copy()
     p = np.asarray(p0, dtype=np.float64).copy()
@@ -116,13 +120,15 @@ def _reference_rollout(runner, x0, p0, n_steps):
         st = solve(x, p, lb, ub)
         x = st.x
         feas.append(float(st.feas))
-        cfs = x[runner.i_splines].reshape(n_coef, n_spl)
-        state = E0[phase + 1] @ cfs
-        inp = E1[phase + 1] @ cfs / runner.horizon
-        states.append(state)
-        inputs.append(inp)
-        p[runner.i_state0] = state
-        p[runner.i_input0] = inp
+        cfs = jnp.asarray(x[runner.i_splines].reshape(n_coef, n_spl))
+        with on_host():
+            p_j, state = model.update(jnp.asarray(p), cfs, phase + 1,
+                                      runner.horizon)
+        p = np.asarray(p_j, dtype=np.float64)
+        states.append(np.asarray(state, dtype=np.float64))
+        if hasattr(model, "E1") and hasattr(model, "i_input0"):
+            inputs.append(np.asarray(model.E1[phase + 1] @ cfs,
+                                     dtype=np.float64) / runner.horizon)
         for (ix, iv, ia) in runner.obstacle_idx:
             pos, vel, acc = p[ix].copy(), p[iv].copy(), p[ia].copy()
             p[ix] = pos + vel * dt + 0.5 * acc * dt * dt
