@@ -50,6 +50,23 @@ INNER_ITER = int(os.environ.get("BENCH_INNER", "5"))
 # f32 batch-tail rescue: the worst K lanes per step get extra ALM rounds
 # (problems/batch.py rollout_fn rescue_lanes) at ~K/BATCH relative cost
 RESCUE = int(os.environ.get("BENCH_RESCUE", "128"))
+# lanes above this raw violation get a fresh-guess reset at the next step
+# (the rollout analog of reinitialize-on-failure); the f32 divergence mode
+# is a bad warm-start basin, which extra iterations cannot leave
+RECOVER_TOL = float(os.environ.get("BENCH_RECOVER_TOL", "0.02"))
+# phase-adaptive budgets "hardOxhardI,easyOxeasyI": the knot-passage step
+# gets the hard budget, the 9 mid-knot steps the easy one (batch.py
+# rollout_fn budgets); empty string disables
+BUDGETS = os.environ.get("BENCH_BUDGETS", "2x8,1x6")
+
+
+def _parse_budgets(s):
+    if not s:
+        return None
+    hard, easy = s.split(",")
+    ho, hi = (int(v) for v in hard.split("x"))
+    eo, ei = (int(v) for v in easy.split("x"))
+    return ((ho, hi), (eo, ei))
 
 
 # BENCH_CONFIG selects the BASELINE.json scenario; p2p_holonomic is the
@@ -122,7 +139,9 @@ def main():
     jax.block_until_ready(st.x)
 
     roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=OUTER_ITER,
-                                     rescue_lanes=RESCUE))
+                                     rescue_lanes=RESCUE,
+                                     recover_tol=RECOVER_TOL,
+                                     budgets=_parse_budgets(BUDGETS)))
     carry, states = roll(st, p0, state, consts)   # compile + first run
     jax.block_until_ready(states)
     setup_s = time.time() - t_setup
@@ -145,10 +164,13 @@ def main():
     feas = np.asarray(carry[0].feas)
     feas_raw = np.asarray(carry[0].feas_raw)
 
-    # -- parity gate: scenario 0 of the timing batch vs the independent CPU
-    # reference solver running the identical rollout scheme (tools/parity).
-    # The reference trajectory is cached per problem fingerprint, so repeat
-    # bench invocations skip the (slow, host-side) reference solves.
+    # -- parity gate: OPEN-LOOP control parity along the reference
+    # trajectory (tools/parity.openloop_parity).  At every step of the
+    # independent CPU reference rollout, the device solver solves the SAME
+    # (x_warm, p) and the one-period-ahead planned states are compared --
+    # per-solve solver error without closed-loop compounding or obstacle-
+    # side bifurcation.  The reference record is cached per problem
+    # fingerprint, so repeat bench invocations skip the host-side solves.
     parity = {"parity_max_err": None, "parity_ok": False}
     if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
         parity_steps = min(N_STEPS, 20)
@@ -160,35 +182,45 @@ def main():
         h.update(x0_np.tobytes())
         h.update(p0_np.tobytes())
         h.update(np.asarray([parity_steps]).tobytes())
-        # v2: refsolver polish restarts (stale v1 trajectories carried a
-        # knot-shift SLSQP plateau)
-        pkey = f"{runner._cache_key}_parity2_{h.hexdigest()[:12]}"
+        # v3: open-loop record (states + per-step solve inputs)
+        pkey = f"{runner._cache_key}_parity3_{h.hexdigest()[:12]}"
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from parity import _reference_rollout, openloop_parity
         hit = _cache.load_tensors(pkey, "refroll")
         if hit is not None:
-            ref_states = hit["states"]
-            ref_feas_max = float(hit["feas_max"])
+            ref = {k: np.asarray(v) for k, v in hit.items()}
         else:
-            sys.path.insert(0, os.path.join(
-                os.path.dirname(os.path.abspath(__file__)), "tools"))
-            from parity import _reference_rollout
-            ref_states, _, ref_feas = _reference_rollout(
-                runner, x0_np, p0_np, parity_steps)
-            ref_feas_max = float(np.max(ref_feas))
-            _cache.store_tensors(pkey, "refroll",
-                                 {"states": ref_states,
-                                  "feas_max": np.asarray(ref_feas_max)})
-        err = float(np.max(np.abs(states[0, :parity_steps] - ref_states)))
+            ref = _reference_rollout(runner, x0_np, p0_np, parity_steps,
+                                     record_inputs=True)
+            _cache.store_tensors(pkey, "refroll", ref)
+        res = openloop_parity(runner, x0_np, p0_np, parity_steps,
+                              outer_iter=OUTER_ITER,
+                              budgets=_parse_budgets(BUDGETS), ref=ref)
+        err = res["openloop_max_err"]
+        ref_feas_max = res["ref_feas_max"]
+        # also report the closed-loop deviation of the timing batch's
+        # scenario 0 (informational: includes plan-multiplicity effects)
+        closed = float(np.max(np.abs(states[0, :parity_steps]
+                                     - ref["states"])))
         parity = {
             "parity_max_err": round(err, 4),
+            "parity_p90_err": round(float(np.percentile(res["per_step"],
+                                                        90)), 5),
+            "parity_closedloop_err": round(closed, 4),
             "parity_ref_feas_max": ref_feas_max,
-            # gate: 5 cm trajectory deviation over the ~4 m closed loop, a
-            # trustworthy (feasible) reference, and 99% of the batch within
-            # millimeter-scale raw feasibility; lanes beyond 1 cm are
-            # counted separately (diverged_lanes) -- genuinely infeasible
-            # scenario draws exist in a 4096-sample field
+            # gate: per-solve commands within 2 cm (p90 within 5 mm) of
+            # the reference optimum, a trustworthy (feasible) reference,
+            # and 99% of the batch feasible in the uniform (Ipopt-
+            # convention row-scaled) metric; raw-unit percentiles and
+            # >1 cm lanes are reported alongside (the formulation mirrors
+            # the reference's, so raw rows mix meters with spline-domain
+            # derivative units)
             "parity_ok": bool(
-                err < 0.05 and ref_feas_max < 1e-3
-                and float(np.percentile(feas_raw, 99)) < 1e-3),
+                err < 0.02
+                and float(np.percentile(res["per_step"], 90)) < 5e-3
+                and ref_feas_max < 1e-3
+                and float(np.percentile(feas, 99)) < 1e-3),
         }
 
     print(json.dumps({
@@ -202,6 +234,7 @@ def main():
         "device": str(jax.devices()[0]),
         "mean_progress_frac": round(progress_frac, 3),
         "feas_p50": float(np.median(feas)),
+        "feas_p99": float(np.percentile(feas, 99)),
         "feas_max": float(np.max(feas)),
         "feas_raw_p50": float(np.median(feas_raw)),
         "feas_raw_p99": float(np.percentile(feas_raw, 99)),

@@ -181,6 +181,16 @@ class Obstacle(OptiChild):
             val = initial.get(key, 0.0)
             self.signals[key] = np.atleast_1d(
                 np.asarray(val, dtype=np.float64)).reshape(-1, 1).copy()
+        # custom linear simulation model x' = A x on the stacked
+        # [position; velocity; acceleration] state (reference
+        # environment.py 'model' simulation: e.g. the sinusoidal mover of
+        # annoying_obstacle.py, simulated truthfully while the NLP keeps
+        # its constant-acceleration prediction)
+        self.sim_A = None
+        self._sim_Phi = (None, None)  # (sample_time, expm(A dt)) cache
+        model = simulation.get("model")
+        if model is not None and model.get("A") is not None:
+            self.sim_A = np.asarray(model["A"], dtype=np.float64)
         # user-scripted piecewise state increments: at the given times, the
         # corresponding quantity jumps by the given value
         self.increments = []
@@ -222,8 +232,19 @@ class Obstacle(OptiChild):
                         vel += val
                     else:
                         acc += val
-            pos = pos + vel * sample_time + 0.5 * acc * sample_time ** 2
-            vel = vel + acc * sample_time
+            if self.sim_A is not None:
+                # exact discrete step of the user's linear model
+                if self._sim_Phi[0] != sample_time:
+                    from scipy.linalg import expm
+                    self._sim_Phi = (sample_time,
+                                     expm(self.sim_A * sample_time))
+                x = self._sim_Phi[1] @ np.concatenate([pos, vel, acc])
+                n = self.n_dim
+                pos, vel, acc = x[:n].copy(), x[n:2 * n].copy(), \
+                    x[2 * n:].copy()
+            else:
+                pos = pos + vel * sample_time + 0.5 * acc * sample_time ** 2
+                vel = vel + acc * sample_time
             t = t_next
             times.append(t)
             P.append(pos.copy())

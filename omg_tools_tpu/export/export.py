@@ -103,14 +103,23 @@ class Export:
         _write_array(data_dir, "Q_val", qv, manifest)
         _write_array(data_dir, "c0", np.asarray(runner.c0) * d[None, :],
                      manifest)
-        C1 = np.asarray(runner.C1) * d[None, :, None]
+        # the runner stores C1/TA restricted to the VARYING parameter
+        # columns (runner._vsel); the C++ runtime contracts against the
+        # full p vector, so expand the column space back out (zeros on the
+        # frozen columns -- their contribution is already folded into
+        # c0/A0 at the reference point)
+        vsel = np.asarray(runner._vsel, dtype=np.int64)
+        C1v = np.asarray(runner.C1) * d[None, :, None]
+        C1 = np.zeros(C1v.shape[:2] + (tr.n_p,))
+        C1[:, :, vsel] = C1v
         _write_array(data_dir, "C1", C1, manifest)
         A0 = np.asarray(runner.A0) * d[None, :, None]
         ai, av = _sparse_coo(A0)
         _write_array(data_dir, "A0_idx", ai, manifest)
         _write_array(data_dir, "A0_val", av, manifest)
-        TA = np.asarray(runner.TA) * d[None, :, None, None]
-        ti, tv = _sparse_coo(TA)
+        TAv = np.asarray(runner.TA) * d[None, :, None, None]
+        ti, tv = _sparse_coo(TAv)
+        ti[:, -1] = vsel[ti[:, -1].astype(np.int64)]  # remap to full-p cols
         _write_array(data_dir, "TA_idx", ti, manifest)
         _write_array(data_dir, "TA_val", tv, manifest)
         _write_array(data_dir, "gf", np.asarray(runner.gf) * obj_scale,

@@ -164,16 +164,27 @@ class BatchedP2PRunner:
             if self.compact.arrow is not None:
                 self.structure = "compact-arrow"
 
-        self.solver = make_alm_solver(
-            tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
-            alm_options if alm_options is not None else ALMOptions(),
-            row_scale=problem._row_scale,
-            obj_scale=problem._obj_scale,
-            quadratic_Q=None if self.compact is not None else Q,
-            compact=self.compact)
+        self._alm_options = alm_options if alm_options is not None \
+            else ALMOptions()
+        self.solver = self.make_solver(self._alm_options)
 
         self.Q_dev = None if self.solver.Q_scaled is None else \
             jnp.asarray(self.solver.Q_scaled, dtype=dtype)
+
+    def make_solver(self, alm_options):
+        """Build an ALM solver over this runner's compacted tensors with a
+        custom iteration budget (phase-adaptive rollouts use one solver per
+        budget class)."""
+        from ..ops.alm import make_alm_solver
+        problem = self.problem
+        tr = self.tr
+        return make_alm_solver(
+            tr.objective, tr.constraints, tr.n_x, tr.lb, tr.ub,
+            alm_options,
+            row_scale=problem._row_scale,
+            obj_scale=problem._obj_scale,
+            quadratic_Q=None if self.compact is not None else self._Q_raw,
+            compact=self.compact)
 
     def consts(self):
         """The rollout's large tensors, to be passed as jit ARGUMENTS."""
@@ -409,7 +420,8 @@ class BatchedP2PRunner:
         return solve(x0, p0)
 
     def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3,
-                   rescue_lanes=0, rescue_outer=3, rescue_tol=1e-3):
+                   rescue_lanes=0, rescue_outer=3, rescue_tol=1e-3,
+                   budgets=None):
         """Return a jittable function
         (alm_state, p, state, consts) -> (final carry, per-step states)
         advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
@@ -430,7 +442,16 @@ class BatchedP2PRunner:
         scattered back BEFORE the plant update -- so the handful of hard
         scenarios in a 4096-lane batch get 4x the solver effort at ~K/B
         relative cost instead of dragging the whole batch's feasibility
-        tail.  0 disables."""
+        tail.  0 disables.
+
+        ``budgets``: phase-adaptive iteration budgets
+        ``((hard_outer, hard_inner), (easy_outer, easy_inner))``.  Only the
+        knot-passage step (warm start shifted one knot) is hard; the
+        steps_per_knot-1 mid-knot steps start from a nearly-converged warm
+        state.  A ``lax.cond`` on the SCALAR step index picks the solver,
+        so the mean per-step cost drops toward the easy budget while the
+        hard step gets more effort than a uniform budget could afford.
+        Overrides ``outer_iter`` when given."""
         spk = self.steps_per_knot
         dt = self.update_time
         solver = self.solver
@@ -447,37 +468,46 @@ class BatchedP2PRunner:
         cA_at = self._cA_at
         default_consts = self.consts
 
-        def _solve(C, st_in, x_warm, p, phase, n_outer):
+        def _solve_with(solver_fn, C, st_in, x_warm, p, phase, n_outer):
             if compact is not None:
                 from ..ops.compact import resolve_phase
                 ct = resolve_phase(compact, C.CT, phase, p)
-                return solver(x_warm, p, C.lb, C.ub, state0=st_in,
-                              outer_iter=n_outer, ct=ct)
+                return solver_fn(x_warm, p, C.lb, C.ub, state0=st_in,
+                                 outer_iter=n_outer, ct=ct)
             cA = cA_at(C, phase, p) if affine else None
-            return solver(x_warm, p, C.lb, C.ub, state0=st_in,
-                          outer_iter=n_outer, cA=cA, Q=C.Q)
+            return solver_fn(x_warm, p, C.lb, C.ub, state0=st_in,
+                             outer_iter=n_outer, cA=cA, Q=C.Q)
 
-        def solve_step(C, carry, k):
-            st, p, state = carry
-            phase = k % spk
-            # knot passage: shift the warm start (k > 0 and phase == 0)
-            do_shift = (phase == 0) & (k > 0)
-            x_warm = jnp.where(do_shift, C.M @ st.x, st.x)
-            # masked divergence recovery: fresh-guess re-initialization
-            bad = st.feas_raw > recover_tol
-            goal = p[i_poseT]
-            reset = model.reset_guess(state, goal, n_coef,
-                                      x_warm.dtype).reshape(-1)
-            x_warm = jnp.where(bad, x_warm.at[i_spl].set(reset), x_warm)
-            lam_warm = jnp.where(bad, jnp.zeros_like(st.lam), st.lam)
-            rho_warm = jnp.where(bad, jnp.full_like(st.rho, 100.0), st.rho)
-            p = p.at[i_t].set(phase * dt)
-            st_in = st._replace(x=x_warm, lam=lam_warm, rho=rho_warm,
-                               feas=jnp.full_like(st.feas, jnp.inf),
-                               stat=jnp.full_like(st.stat, jnp.inf),
-                               n_iter=jnp.zeros_like(st.n_iter))
-            st = _solve(C, st_in, x_warm, p, phase, outer_iter)
-            return st, p, state
+        def _solve(C, st_in, x_warm, p, phase, n_outer):
+            return _solve_with(solver, C, st_in, x_warm, p, phase, n_outer)
+
+        def make_solve_step(solver_fn, n_outer):
+            def solve_step(C, carry, k):
+                st, p, state = carry
+                phase = k % spk
+                # knot passage: shift the warm start (k > 0 and phase == 0)
+                do_shift = (phase == 0) & (k > 0)
+                x_warm = jnp.where(do_shift, C.M @ st.x, st.x)
+                # masked divergence recovery: fresh-guess re-initialization
+                bad = st.feas_raw > recover_tol
+                goal = p[i_poseT]
+                reset = model.reset_guess(state, goal, n_coef,
+                                          x_warm.dtype).reshape(-1)
+                x_warm = jnp.where(bad, x_warm.at[i_spl].set(reset), x_warm)
+                lam_warm = jnp.where(bad, jnp.zeros_like(st.lam), st.lam)
+                rho_warm = jnp.where(bad, jnp.full_like(st.rho, 100.0),
+                                     st.rho)
+                p = p.at[i_t].set(phase * dt)
+                st_in = st._replace(x=x_warm, lam=lam_warm, rho=rho_warm,
+                                    feas=jnp.full_like(st.feas, jnp.inf),
+                                    stat=jnp.full_like(st.stat, jnp.inf),
+                                    n_iter=jnp.zeros_like(st.n_iter))
+                st = _solve_with(solver_fn, C, st_in, x_warm, p, phase,
+                                 n_outer)
+                return st, p, state
+            return solve_step
+
+        solve_step = make_solve_step(solver, outer_iter)
 
         def plant_step(C, st, p, state, k):
             # ideal plant update: vehicle recipe maps the solved splines at
@@ -493,11 +523,30 @@ class BatchedP2PRunner:
                 p = p.at[iv].set(vel + acc * dt)
             return (st, p, state_n), state_n
 
+        if budgets is not None:
+            (hard_outer, hard_inner), (easy_outer, easy_inner) = budgets
+            solver_hard = self.make_solver(
+                self._alm_options._replace(inner_iter=hard_inner))
+            solver_easy = self.make_solver(
+                self._alm_options._replace(inner_iter=easy_inner))
+            hard_step = make_solve_step(solver_hard, hard_outer)
+            easy_step = make_solve_step(solver_easy, easy_outer)
+
         def rollout(st, p, state, consts: Optional[RolloutConsts] = None):
             C = consts if consts is not None else default_consts()
-            batched_solve = jax.vmap(solve_step,
-                                     in_axes=(None, (0, 0, 0), None),
-                                     out_axes=(0, 0, 0))
+            batch_axes = dict(in_axes=(None, (0, 0, 0), None),
+                              out_axes=(0, 0, 0))
+            if budgets is None:
+                batched_solve = jax.vmap(solve_step, **batch_axes)
+            else:
+                bs_hard = jax.vmap(hard_step, **batch_axes)
+                bs_easy = jax.vmap(easy_step, **batch_axes)
+
+                def batched_solve(C, carry, k):
+                    # scalar predicate: only the knot-passage step is hard
+                    return jax.lax.cond((k % spk == 0) & (k > 0),
+                                        lambda c: bs_hard(C, c, k),
+                                        lambda c: bs_easy(C, c, k), carry)
             batched_plant = jax.vmap(plant_step,
                                      in_axes=(None, 0, 0, 0, None),
                                      out_axes=((0, 0, 0), 0))

@@ -151,17 +151,9 @@ class FixedTPoint2point(Point2pointProblem):
                     self.define_constraint(spline(np.array(1.0)) - condition,
                                            0.0, 0.0)
             for spline, condition in term_con_der:
-                # express the row in PHYSICAL derivative units at the
-                # nominal horizon (the reference formulation's convention:
-                # its vehicles carry T factors on every derivative, e.g.
-                # reference holonomic.py:60-66) -- raw-unit feasibility of
-                # a jerk row is then m/s^3, not the (n_knots*degree)^3-
-                # amplified spline-domain number
-                order = vehicle.degree - spline.basis.degree
-                scale = float(self.options["horizon_time"]) ** (-order)
                 self.define_constraint(
-                    (evalspline(spline, np.asarray(1.0)) - condition)
-                    * scale, 0.0, 0.0)
+                    evalspline(spline, np.asarray(1.0)) - condition,
+                    0.0, 0.0)
         self.define_objective(objective)
 
     def set_parameters(self, current_time):
@@ -291,13 +283,9 @@ class FreeTPoint2point(Point2pointProblem):
             if self.options.get("no_term_con_der", False):
                 term_con_der = []
             for spline, condition in term_con + term_con_der:
-                # physical derivative units at the nominal horizon (see the
-                # FixedT site above); order 0 (position rows) is unscaled
-                order = vehicle.degree - spline.basis.degree
-                scale = float(self.options["horizon_time"]) ** (-order)
                 self.define_constraint(
-                    (evalspline(spline, np.asarray(1.0)) - condition)
-                    * scale, 0.0, 0.0)
+                    evalspline(spline, np.asarray(1.0)) - condition,
+                    0.0, 0.0)
 
     def set_parameters(self, current_time):
         parameters = {self: {}}
@@ -402,11 +390,7 @@ class FreeEndPoint2point(FixedTPoint2point):
                 self.define_constraint(spline - condition - g, -BIG, 0.0)
                 self.define_constraint(-spline + condition - g, -BIG, 0.0)
             for spline, condition in term_con_der:
-                # physical derivative units at the nominal horizon (see the
-                # FixedT site)
-                order = vehicle.degree - spline.basis.degree
-                scale = float(self.options["horizon_time"]) ** (-order)
                 self.define_constraint(
-                    (evalspline(spline, np.asarray(1.0)) - condition)
-                    * scale, 0.0, 0.0)
+                    evalspline(spline, np.asarray(1.0)) - condition,
+                    0.0, 0.0)
         self.define_objective(objective)

@@ -18,7 +18,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
-from parity import build_p2p_holonomic, rollout_parity  # noqa: E402
+from parity import (build_p2p_holonomic, rollout_parity,  # noqa: E402
+                    _reference_rollout, openloop_parity)
 
 pytestmark = pytest.mark.slow
 
@@ -41,6 +42,28 @@ def test_single_solve_agreement():
     assert ps.solver_stats["feas"] < 1e-3
     # same optimum within solver tolerances (objective = terminal L1 slack)
     assert abs(f_alm - f_ref) < 5e-3 * max(1.0, abs(f_ref))
+
+
+def test_openloop_control_parity():
+    """The gating metric: at every step along the reference trajectory the
+    device solver (bench iteration budgets) commands a next state within
+    tolerance of the reference optimum -- per-solve error, free of
+    closed-loop compounding and obstacle-side plan multiplicity."""
+    problem = build_p2p_holonomic("alm")
+    from omg_tools_tpu.problems.batch import BatchedP2PRunner
+    from omg_tools_tpu.ops.alm import ALMOptions
+    runner = BatchedP2PRunner(problem, dtype=jnp.float32,
+                              alm_options=ALMOptions(inner_iter=5))
+    start = np.array([-1.5, -1.5])
+    goal = np.array([2.0, 2.0])
+    x0, p0, _ = runner.make_batch(start[None, :], goal[None, :])
+    x0n = np.asarray(x0[0], np.float64)
+    p0n = np.asarray(p0[0], np.float64)
+    res = openloop_parity(runner, x0n, p0n, 12,
+                          budgets=((2, 8), (1, 6)))
+    assert res["ref_feas_max"] < 1e-3, "reference must stay feasible"
+    assert res["openloop_max_err"] < 0.02, res["per_step"]
+    assert float(np.percentile(res["per_step"], 90)) < 5e-3, res["per_step"]
 
 
 def test_rollout_parity_closed_loop():

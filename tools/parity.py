@@ -87,7 +87,7 @@ def closedloop_parity(n_steps=20, solver_options=None):
             "n_samples": int(n)}
 
 
-def _reference_rollout(runner, x0, p0, n_steps):
+def _reference_rollout(runner, x0, p0, n_steps, record_inputs=False):
     """Host replication of BatchedP2PRunner.rollout_fn for ONE scenario,
     with every NLP solved by the scipy reference solver (raw units, f64).
     The plant update goes through the runner's model recipe
@@ -112,11 +112,15 @@ def _reference_rollout(runner, x0, p0, n_steps):
     x = np.asarray(x0, dtype=np.float64).copy()
     p = np.asarray(p0, dtype=np.float64).copy()
     states, inputs, feas = [], [], []
+    x_in, p_in = [], []
     for k in range(n_steps):
         phase = k % spk
         if phase == 0 and k > 0:
             x = M @ x
         p[runner.i_t] = phase * dt
+        if record_inputs:
+            x_in.append(x.copy())
+            p_in.append(p.copy())
         st = solve(x, p, lb, ub)
         x = st.x
         feas.append(float(st.feas))
@@ -124,7 +128,8 @@ def _reference_rollout(runner, x0, p0, n_steps):
         with on_host():
             p_j, state = model.update(jnp.asarray(p), cfs, phase + 1,
                                       runner.horizon)
-        p = np.asarray(p_j, dtype=np.float64)
+        p = np.array(p_j, dtype=np.float64)  # owned copy (jax buffers are
+        #                                      read-only through asarray)
         states.append(np.asarray(state, dtype=np.float64))
         if hasattr(model, "E1") and hasattr(model, "i_input0"):
             inputs.append(np.asarray(model.E1[phase + 1] @ cfs,
@@ -133,7 +138,89 @@ def _reference_rollout(runner, x0, p0, n_steps):
             pos, vel, acc = p[ix].copy(), p[iv].copy(), p[ia].copy()
             p[ix] = pos + vel * dt + 0.5 * acc * dt * dt
             p[iv] = vel + acc * dt
+    if record_inputs:
+        return {"states": np.asarray(states), "inputs": np.asarray(inputs),
+                "feas": np.asarray(feas), "x_in": np.asarray(x_in),
+                "p_in": np.asarray(p_in)}
     return (np.asarray(states), np.asarray(inputs), np.asarray(feas))
+
+
+def openloop_parity(runner, x0, p0, n_steps, outer_iter=2, budgets=None,
+                    ref=None):
+    """Per-solve control parity along the REFERENCE trajectory.
+
+    The closed-loop trajectory deviation compounds and bifurcates at
+    obstacle decision boundaries (two optima within solver tolerance), so
+    it cannot separate solver error from plan multiplicity.  This metric
+    can: walk the reference rollout, and at every step solve the SAME
+    (x_warm, p) with the device solver (its own multiplier warm state
+    carried along), then compare the one-period-ahead planned state both
+    solutions command.  That is exactly BASELINE's "control sequences
+    match the reference within tolerance at 10 Hz", without chaos.
+
+    ``ref``: optionally a precomputed record dict from
+    ``_reference_rollout(..., record_inputs=True)`` (bench.py caches it).
+    Returns dict with per_step (n_steps,) and max error."""
+    import jax
+    import jax.numpy as jnp
+
+    if ref is None:
+        ref = _reference_rollout(runner, x0, p0, n_steps,
+                                 record_inputs=True)
+    spk = runner.steps_per_knot
+    n_coef, n_spl = runner.spline_shape
+    model = runner.model
+    compact = runner.compact
+    consts = runner.consts()
+
+    def _build(solver_fn, n_outer):
+        def solve_fn(st_in, x_warm, p, phase):
+            if compact is not None:
+                from omg_tools_tpu.ops.compact import resolve_phase
+                ct = resolve_phase(compact, consts.CT, phase, p)
+                return solver_fn(x_warm, p, consts.lb, consts.ub,
+                                 state0=st_in, outer_iter=n_outer, ct=ct)
+            return solver_fn(x_warm, p, consts.lb, consts.ub, state0=st_in,
+                             outer_iter=n_outer,
+                             cA=runner._cA_at(consts, phase, p) if
+                             runner.affine_cA else None, Q=consts.Q)
+        return jax.jit(solve_fn)
+
+    if budgets is not None:
+        (ho, hi), (eo, ei) = budgets
+        hard = _build(runner.make_solver(
+            runner._alm_options._replace(inner_iter=hi)), ho)
+        easy = _build(runner.make_solver(
+            runner._alm_options._replace(inner_iter=ei)), eo)
+    else:
+        hard = easy = _build(runner.solver, outer_iter)
+
+    # initial warm state: the same converged cold solve the rollout uses
+    st = jax.tree_util.tree_map(
+        lambda a: a[0], jax.jit(runner.init_solver_state)(
+            jnp.asarray(x0, dtype=runner.dtype)[None],
+            jnp.asarray(p0, dtype=runner.dtype)[None],
+            jax.tree_util.tree_map(jnp.asarray, consts)))
+
+    errs = []
+    i_spl = runner.i_splines
+    for k in range(n_steps):
+        phase = k % spk
+        x_warm = jnp.asarray(ref["x_in"][k], dtype=runner.dtype)
+        p_k = jnp.asarray(ref["p_in"][k], dtype=runner.dtype)
+        st_in = st._replace(x=x_warm,
+                            feas=jnp.full_like(st.feas, jnp.inf),
+                            stat=jnp.full_like(st.stat, jnp.inf),
+                            n_iter=jnp.zeros_like(st.n_iter))
+        fn = hard if (phase == 0 and k > 0) else easy
+        st = fn(st_in, x_warm, p_k, jnp.asarray(phase))
+        cfs = jnp.asarray(st.x)[jnp.asarray(i_spl)].reshape(n_coef, n_spl)
+        _, state_dev = model.update(p_k, cfs, phase + 1, runner.horizon)
+        errs.append(float(np.max(np.abs(np.asarray(state_dev, np.float64)
+                                        - ref["states"][k]))))
+    errs = np.asarray(errs)
+    return {"per_step": errs, "openloop_max_err": float(errs.max()),
+            "ref_feas_max": float(ref["feas"].max())}
 
 
 def rollout_parity(runner, n_steps=20, outer_iter=1, start=None, goal=None,
