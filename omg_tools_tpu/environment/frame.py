@@ -126,11 +126,20 @@ class Frame:
         return [xmin, ymin, xmax, ymax]
 
     def fix_endpoint_reachability(self, vehicle_size=0.2, margin=0.1):
-        """Move the frame's local goal back along the global path until it
-        is not inside (the inflation of) any in-frame obstacle (reference
-        frame.py:212+ 'last waypoint reachability fixes')."""
+        """Make the frame's local goal reachable (reference frame.py:212+
+        'last waypoint reachability fixes'): (1) clamp it at least
+        vehicle_size + margin inside the frame border -- the local problem's
+        room constraint keeps the vehicle CENTER that far inside, so a goal
+        closer to the border makes the terminal equality structurally
+        infeasible; (2) move it back along the global path until it is not
+        inside (the inflation of) any in-frame obstacle."""
         if not hasattr(self, "goal"):
             return
+        b = self.border
+        m = vehicle_size + 0.5 * margin
+        if b[2] - b[0] > 2 * m and b[3] - b[1] > 2 * m:
+            self.goal = np.clip(np.asarray(self.goal, dtype=np.float64),
+                                [b[0] + m, b[1] + m], [b[2] - m, b[3] - m])
         obstacles = self.stationary_obstacles + self.moving_obstacles \
             or self.environment.obstacles
 

@@ -187,10 +187,24 @@ class Obstacle(OptiChild):
         # annoying_obstacle.py, simulated truthfully while the NLP keeps
         # its constant-acceleration prediction)
         self.sim_A = None
-        self._sim_Phi = (None, None)  # (sample_time, expm(A dt)) cache
+        self.sim_B = None
+        self._sim_Phi = (None, None, None)  # (dt, expm(A dt), ZOH Gamma)
         model = simulation.get("model")
         if model is not None and model.get("A") is not None:
             self.sim_A = np.asarray(model["A"], dtype=np.float64)
+            if model.get("B") is not None:
+                self.sim_B = np.asarray(model["B"], dtype=np.float64)
+        # forced input u(t): zero-order-held between the given sample points
+        # (reference ObstaclexD.ode integrates x' = A x + B u with interp1d)
+        self._input_traj = None
+        traj_in = simulation.get("trajectories", {}).get("input")
+        if traj_in is not None:
+            self._input_traj = (
+                np.asarray(traj_in["time"], dtype=np.float64),
+                np.asarray(traj_in["values"], dtype=np.float64))
+            if self.sim_B is None:
+                raise ValueError(
+                    "input trajectory given but simulation model has no 'B'")
         # user-scripted piecewise state increments: at the given times, the
         # corresponding quantity jumps by the given value
         self.increments = []
@@ -233,12 +247,32 @@ class Obstacle(OptiChild):
                     else:
                         acc += val
             if self.sim_A is not None:
-                # exact discrete step of the user's linear model
+                # exact discrete step of the user's linear model; with a B
+                # matrix the ZOH input matrix Gamma = int_0^dt e^(As) ds B
+                # comes from the augmented-matrix expm trick
                 if self._sim_Phi[0] != sample_time:
                     from scipy.linalg import expm
-                    self._sim_Phi = (sample_time,
-                                     expm(self.sim_A * sample_time))
-                x = self._sim_Phi[1] @ np.concatenate([pos, vel, acc])
+                    nA = self.sim_A.shape[0]
+                    if self.sim_B is not None:
+                        nB = self.sim_B.shape[1]
+                        Maug = np.zeros((nA + nB, nA + nB))
+                        Maug[:nA, :nA] = self.sim_A * sample_time
+                        Maug[:nA, nA:] = self.sim_B * sample_time
+                        E = expm(Maug)
+                        self._sim_Phi = (sample_time, E[:nA, :nA],
+                                         E[:nA, nA:])
+                    else:
+                        self._sim_Phi = (sample_time,
+                                         expm(self.sim_A * sample_time),
+                                         None)
+                _, Phi, Gamma = self._sim_Phi
+                x = Phi @ np.concatenate([pos, vel, acc])
+                if Gamma is not None:
+                    tt, vv = (self._input_traj if self._input_traj is not None
+                              else (np.zeros(1), np.zeros((1, Gamma.shape[1]))))
+                    k_in = int(np.searchsorted(tt, t, side="right") - 1)
+                    u = vv[max(k_in, 0)] if np.ndim(vv) > 1 else vv
+                    x = x + Gamma @ np.atleast_1d(u)
                 n = self.n_dim
                 pos, vel, acc = x[:n].copy(), x[n:2 * n].copy(), \
                     x[2 * n:].copy()

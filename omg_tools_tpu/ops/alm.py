@@ -36,11 +36,20 @@ __all__ = ["ALMState", "ALMOptions", "make_alm_solver"]
 
 
 class ALMOptions(NamedTuple):
-    outer_iter: int = 40
-    inner_iter: int = 8
+    outer_iter: int = 20
+    # 16 inner Newton steps per outer round: enough to actually minimize
+    # each AL subproblem (8 leaves free-T problems stationarity-stalled at
+    # the full n_outer*inner budget; 16 converges and exits EARLY, so the
+    # total cost stays at the old 320-iteration cap).  Warm-started device
+    # rollouts override this per phase.
+    inner_iter: int = 16
     tol: float = 1e-3          # stationarity tolerance (scaled space)
     feas_tol: float = 1e-5     # feasibility tolerance (scaled space)
-    rho_init: float = 100.0
+    # moderate initial penalty: rho 100 makes truncated inner Newton stall
+    # on the AL subproblem (cold solves exhaust the budget ~2% above the
+    # optimum); rho 10 converges to the reference optimum within the same
+    # budget and grows on stall anyway
+    rho_init: float = 10.0
     rho_growth: float = 5.0
     rho_max: float = 1e4
     feas_decrease: float = 0.25  # required violation decrease per outer iter
@@ -161,6 +170,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             return lb, ub
 
     grad_f = jax.grad(f)
+    hess_f = jax.hessian(f)
     jac_g = jax.jacfwd(g)
 
     Qs_np = None
@@ -270,7 +280,8 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                     g=lambda x: g(x, p),
                     J=lambda x: jac_g(x, p),
                     f=lambda x: f(x, p),
-                    gf=lambda x: grad_f(x, p))
+                    gf=lambda x: grad_f(x, p),
+                    Hf=lambda x: hess_f(x, p))
 
     def penalty_term(gv, lam, rho, lb, ub):
         r = gv + lam / rho
@@ -355,10 +366,16 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         active = (jnp.abs(y_hat) > 0.0).astype(x.dtype)
         Hpen = rho * (J.T * active[None, :]) @ J
         if opt.hessian == "gn":
-            # Gauss-Newton: the objective is linear in this transcription, so
-            # all guaranteed-PD curvature lives in the penalty term; a ridge
-            # keeps the Cholesky well-posed.  No eigendecomposition -- this
-            # is the TPU hot path (batched Cholesky rides the MXU).
+            # Gauss-Newton: penalty curvature + the OBJECTIVE's own Hessian.
+            # Spline p2p transcriptions have linear objectives (Hf = 0), but
+            # ADMM local problems carry a convex quadratic (rho/2 ||s-z||^2)
+            # whose curvature GN must see -- without it the f32 x-update
+            # stalls at O(100) stationarity and the fleet consensus
+            # plateaus.  A ridge keeps the Cholesky well-posed.  No
+            # eigendecomposition -- this is the TPU hot path (batched
+            # Cholesky rides the MXU).
+            if not evals["quadratic"] and "Hf" in evals:
+                Hpen = Hpen + evals["Hf"](x)
             scale = jnp.maximum(jnp.max(jnp.abs(jnp.diagonal(Hpen))), 1.0)
             H = Hpen + (opt.gn_delta_rel * scale + opt.delta) \
                 * jnp.eye(n_x, dtype=x.dtype)
@@ -449,6 +466,12 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             evals = make_evals_compact(ct)
         else:
             evals = make_evals(jnp.asarray(p), dtype, cA=cA, Q=Q)
+        # dtype-aware feasibility floor: in f32 the configured tolerance
+        # sits below the roundoff of the scaled constraint evaluation (rows
+        # up to O(100) x eps 1.2e-7); without the floor every outer round
+        # reads "no improvement" and rho ratchets to rho_max, wrecking the
+        # Newton conditioning (f32 stationarity 12 -> 4e-2 with the floor)
+        feas_tol = jnp.maximum(opt.feas_tol, 1000.0 * jnp.finfo(dtype).eps)
 
         def outer_body(st):
             def inner_body(_, carry):
@@ -476,7 +499,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             # feasibility stalls (gating the lam update as well -- LANCELOT
             # style -- proved harmful with truncated inner solves)
             improved = feas_n <= jnp.maximum(
-                opt.feas_decrease * jnp.minimum(st.feas, 1e6), opt.feas_tol)
+                opt.feas_decrease * jnp.minimum(st.feas, 1e6), feas_tol)
             lam_n = y_hat
             rho_n = jnp.where(improved, st.rho,
                               jnp.minimum(st.rho * opt.rho_growth,
@@ -486,7 +509,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                             feas_raw=feas_raw_n)
 
         def cond(st):
-            done = (st.feas < opt.feas_tol) & (st.stat < opt.tol)
+            done = (st.feas < feas_tol) & (st.stat < opt.tol)
             return jnp.logical_not(done) & (st.n_iter
                                             < n_outer * opt.inner_iter)
 

@@ -421,7 +421,7 @@ class BatchedP2PRunner:
 
     def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3,
                    rescue_lanes=0, rescue_outer=3, rescue_tol=1e-3,
-                   budgets=None):
+                   budgets=None, streak_tol=8e-3):
         """Return a jittable function
         (alm_state, p, state, consts) -> (final carry, per-step states)
         advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
@@ -483,13 +483,17 @@ class BatchedP2PRunner:
 
         def make_solve_step(solver_fn, n_outer):
             def solve_step(C, carry, k):
-                st, p, state = carry
+                st, p, state, streak = carry
                 phase = k % spk
                 # knot passage: shift the warm start (k > 0 and phase == 0)
                 do_shift = (phase == 0) & (k > 0)
                 x_warm = jnp.where(do_shift, C.M @ st.x, st.x)
-                # masked divergence recovery: fresh-guess re-initialization
-                bad = st.feas_raw > recover_tol
+                # masked divergence recovery: fresh-guess re-initialization.
+                # Two triggers: a hard per-step violation, or a sustained
+                # soft one (feas_raw > streak_tol for 2 consecutive steps --
+                # the bad warm-start basin detected EARLY, before the lane
+                # fully diverges)
+                bad = (st.feas_raw > recover_tol) | (streak >= 2)
                 goal = p[i_poseT]
                 reset = model.reset_guess(state, goal, n_coef,
                                           x_warm.dtype).reshape(-1)
@@ -504,7 +508,10 @@ class BatchedP2PRunner:
                                     n_iter=jnp.zeros_like(st.n_iter))
                 st = _solve_with(solver_fn, C, st_in, x_warm, p, phase,
                                  n_outer)
-                return st, p, state
+                streak = jnp.where(bad, jnp.zeros_like(streak), streak)
+                streak = jnp.where(st.feas_raw > streak_tol, streak + 1,
+                                   jnp.zeros_like(streak))
+                return st, p, state, streak
             return solve_step
 
         solve_step = make_solve_step(solver, outer_iter)
@@ -534,8 +541,8 @@ class BatchedP2PRunner:
 
         def rollout(st, p, state, consts: Optional[RolloutConsts] = None):
             C = consts if consts is not None else default_consts()
-            batch_axes = dict(in_axes=(None, (0, 0, 0), None),
-                              out_axes=(0, 0, 0))
+            batch_axes = dict(in_axes=(None, (0, 0, 0, 0), None),
+                              out_axes=(0, 0, 0, 0))
             if budgets is None:
                 batched_solve = jax.vmap(solve_step, **batch_axes)
             else:
@@ -550,19 +557,41 @@ class BatchedP2PRunner:
             batched_plant = jax.vmap(plant_step,
                                      in_axes=(None, 0, 0, 0, None),
                                      out_axes=((0, 0, 0), 0))
-            rescue_solve = jax.vmap(
-                lambda st_r, p_r, phase: _solve(C, st_r, st_r.x, p_r, phase,
-                                                rescue_outer))
+            streak0 = jnp.zeros(st.feas_raw.shape, dtype=jnp.int32)
+
+            def rescue_one(st_r, p_r, phase, state_r):
+                # lanes beyond recover_tol are in a bad warm-start basin:
+                # extra iterations alone cannot leave it, so the rescue
+                # re-solve starts from a FRESH guess (the in-step analog of
+                # the next-step masked reset -- catches final-step
+                # divergences that have no next step)
+                diverged = st_r.feas_raw > recover_tol
+                goal = p_r[i_poseT]
+                reset = model.reset_guess(state_r, goal, n_coef,
+                                          st_r.x.dtype).reshape(-1)
+                x_in = jnp.where(diverged, st_r.x.at[i_spl].set(reset),
+                                 st_r.x)
+                st_in = st_r._replace(
+                    x=x_in,
+                    lam=jnp.where(diverged, jnp.zeros_like(st_r.lam),
+                                  st_r.lam),
+                    rho=jnp.where(diverged, jnp.full_like(st_r.rho, 100.0),
+                                  st_r.rho))
+                return _solve(C, st_in, x_in, p_r, phase, rescue_outer)
+
+            rescue_solve = jax.vmap(rescue_one)
 
             def scan_body(carry, k):
-                st, p, state = batched_solve(C, carry, k)
+                st, p, state, streak = batched_solve(C, carry, k)
                 if rescue_lanes:
-                    # gather the worst lanes, re-solve with extra outer
-                    # rounds, keep whichever iterate is more feasible
-                    _, idx = jax.lax.top_k(st.feas_raw, rescue_lanes)
+                    # gather the worst lanes (clamped to the batch size),
+                    # re-solve with extra outer rounds, keep whichever
+                    # iterate is more feasible
+                    k_r = min(rescue_lanes, st.feas_raw.shape[0])
+                    _, idx = jax.lax.top_k(st.feas_raw, k_r)
                     st_r = jax.tree_util.tree_map(lambda a: a[idx], st)
-                    phase = jnp.broadcast_to(k % spk, (rescue_lanes,))
-                    st_r2 = rescue_solve(st_r, p[idx], phase)
+                    phase = jnp.broadcast_to(k % spk, (k_r,))
+                    st_r2 = rescue_solve(st_r, p[idx], phase, state[idx])
                     take = (st_r.feas_raw > rescue_tol) & \
                         (st_r2.feas_raw < st_r.feas_raw)
 
@@ -574,11 +603,13 @@ class BatchedP2PRunner:
                     st_rm = jax.tree_util.tree_map(blend, st_r, st_r2)
                     st = jax.tree_util.tree_map(
                         lambda a, b: a.at[idx].set(b), st, st_rm)
-                carry, out = batched_plant(C, st, p, state, k)
-                return carry, out
+                (st, p, state), out = batched_plant(C, st, p, state, k)
+                return (st, p, state, streak), out
 
-            carry, states = jax.lax.scan(scan_body, (st, p, state),
+            carry, states = jax.lax.scan(scan_body,
+                                         (st, p, state, streak0),
                                          jnp.arange(n_steps))
-            return carry, jnp.moveaxis(states, 0, 1)  # (B, n_steps, n_spl)
+            # drop the internal streak counter from the public carry
+            return carry[:3], jnp.moveaxis(states, 0, 1)  # (B, n_steps, ...)
 
         return rollout

@@ -127,8 +127,8 @@ class Problem(OptiChild, PlotLayer):
             from ..ops.alm import (make_alm_solver, ALMOptions,
                                    detect_quadratic_structure)
             alm_options = ALMOptions(
-                outer_iter=sopts.get("outer_iter", 40),
-                inner_iter=sopts.get("inner_iter", 8),
+                outer_iter=sopts.get("outer_iter", 20),
+                inner_iter=sopts.get("inner_iter", 16),
                 tol=sopts.get("tol", 1e-3),
                 feas_tol=sopts.get("feas_tol", 1e-5))
             # dense-Q structure pays off batched (TPU); the single-scenario
@@ -222,6 +222,21 @@ class Problem(OptiChild, PlotLayer):
                 print(f"[{self.label}] solve did not converge "
                       f"(kkt_err={float(st.kkt_err):.2e}) -- resetting guess")
             self.reinitialize()
+            # one immediate retry from the fresh guess (the analog of the
+            # reference's reset_init_guess + next-period recovery, but
+            # without ever EXECUTING the diverged iterate): keep whichever
+            # iterate is more feasible
+            st2 = self._jit_solve(jnp.asarray(self._x_result),
+                                  jnp.asarray(parameters), lb, ub)
+            st2 = jax.tree_util.tree_map(np.asarray, st2)
+            if hasattr(st, "feas") and float(st2.feas) < float(st.feas):
+                st = st2
+                self._ip_state = st
+                self._x_result = np.array(st.x, dtype=np.float64)
+                self.solver_stats = {"kkt_err": float(st.kkt_err),
+                                     "iterations": int(st.n_iter),
+                                     "time": _time.time() - t0,
+                                     "feas": float(st.feas)}
         self.update_times.append(t_upd)
         self.iteration += 1
         if self.options["verbose"] >= 2:

@@ -134,25 +134,49 @@ class SchedulerProblem(Problem):
         return (len(chck), getattr(obstacle, "cos", None) is not None,
                 bool(obstacle.options.get("spline_traj", False)))
 
+    def _env_class_counts(self):
+        """Environment-wide obstacle count per checkpoint class: the UNIFORM
+        slot layout every frame is padded to, so every frame shares one
+        structural signature and one compiled local problem (the TPU answer
+        to the reference's per-switch NLP rebuild, ref :700-730)."""
+        counts: Dict = {}
+        for obs in self.environment.obstacles:
+            if not obs.options.get("avoid", True):
+                continue
+            cls = self._obs_class(obs)
+            counts[cls] = counts.get(cls, 0) + 1
+        return counts
+
     def _frame_slots(self, frame):
-        """In-frame obstacles padded to slot quanta per checkpoint class:
-        (class -> [obstacles + dummies])."""
+        """In-frame obstacles padded per checkpoint class to the
+        environment-wide class counts (rounded up to slot quanta):
+        (class -> [obstacles + dummies]).  Out-of-frame slots are parked
+        far away (still avoided -- trivially satisfied constraints)."""
         q = self.slot_quantum
         classes: Dict = {}
         for obs in frame.stationary_obstacles + frame.moving_obstacles:
             classes.setdefault(self._obs_class(obs), []).append(obs)
         slots: Dict = {}
-        far = frame.center + np.array([100.0 * max(frame.width, 10.0), 0.0])
-        for cls, members in classes.items():
-            n_pad = (-len(members)) % q
+        # park dummies just OUTSIDE the frame: far enough never to bind
+        # (vehicle stays inside the frame room), close enough to keep the
+        # hyperplane offsets at the problem's length scale -- a 1000x-away
+        # slot makes b ~ 1000 and stalls both ALM and the scipy reference
+        far = frame.center + np.array([0.5 * frame.width + 2.0, 0.0])
+        for cls, total in self._env_class_counts().items():
+            members = classes.get(cls, [])
+            n_slots = max(total, len(members))
+            n_slots += (-n_slots) % q
             dummies = []
-            for _ in range(n_pad):
+            for _ in range(n_slots - len(members)):
                 n_chck = cls[0]
                 shape = Circle(0.05) if n_chck == 1 else \
                     Rectangle(width=0.1, height=0.1)
                 dummies.append(Obstacle({"position": list(far)}, shape=shape,
                                         options={"avoid": True}))
             slots[cls] = members + dummies
+        for cls, members in classes.items():
+            if cls not in slots:
+                slots[cls] = members
         return slots
 
     def _signature(self):
@@ -223,8 +247,7 @@ class SchedulerProblem(Problem):
             slots = self._frame_slots(frame)
             flat = [obs for members in slots.values() for obs in members]
             tmpl_list = room.get("obstacles", env.obstacles)
-            far = frame.center + np.array([100.0 * max(frame.width, 10.0),
-                                           0.0])
+            far = frame.center + np.array([0.5 * frame.width + 2.0, 0.0])
             for tmpl, src in zip(tmpl_list, flat + [None] * max(
                     0, len(tmpl_list) - len(flat))):
                 if structure_fresh and getattr(tmpl, "source", None) is not None:
@@ -254,9 +277,19 @@ class SchedulerProblem(Problem):
         g = basis.greville()
         coeffs = np.stack([np.interp(g * length, cum, pts[:, k])
                            for k in range(2)], axis=1)
-        vmax = getattr(self.vehicle, "vmax", 0.5)
-        motion_time = length / max(0.5 * vmax, 1e-6)
+        motion_time = length / max(0.5 * self._vehicle_vmax(), 1e-6)
         return coeffs, motion_time
+
+    def _vehicle_vmax(self):
+        """Velocity bound for motion-time estimates (reference :589-591).
+        Holonomic exposes vmax (norm_2) or vxmax/vymax (norm_inf)."""
+        v = getattr(self.vehicle, "vmax", None)
+        if v is None:
+            vx = getattr(self.vehicle, "vxmax", None)
+            vy = getattr(self.vehicle, "vymax", None)
+            if vx is not None:
+                v = min(vx, vy) if vy is not None else vx
+        return float(v) if v else 0.5
 
     def _set_init_guess(self, guess="waypoints", handdown=None):
         """Install init guesses into the local problem's warm start:
@@ -281,25 +314,6 @@ class SchedulerProblem(Problem):
                 problem.set_variables(np.asarray([T_k]), problem, name)
             except KeyError:
                 pass
-
-    def _handdown_guess(self):
-        """Segment hand-down on a frame shift: the previous problem's
-        segment k+1 becomes the new segment k guess (the analog of the
-        reference's combined-frame re-projection :660-698, exact here
-        because segment bases are shared)."""
-        problem = self.local_problem
-        if not isinstance(problem, MultiFrameProblem):
-            return None
-        times = problem.segment_times()
-        out = []
-        for k in range(1, len(self.frames) + 1):
-            try:
-                coeffs = problem.get_variables(self.vehicle,
-                                               f"splines_seg{k}")
-            except KeyError:
-                break
-            out.append((np.asarray(coeffs)[:, :2], times[k]))
-        return out or None
 
     # -- frame management ----------------------------------------------------
     def _membership_changed(self):
@@ -338,24 +352,17 @@ class SchedulerProblem(Problem):
                                  self.frames[0].height) * 0.5
 
     def _shift_frames(self):
-        """Drop frame 0, append a new last frame continuing along the
-        global path (reference update_frames :433-479)."""
-        handdown = self._handdown_guess()
-        path = self._global_path()
-        last = self.frames[-1]
-        if last.point_in_frame(self.goal):
-            self.frames = self.frames[1:]
-        else:
-            start = last.goal
-            dists = [np.linalg.norm(np.asarray(p) - start) for p in path]
-            tail = path[int(np.argmin(dists)):] or path
-            new = self._single_frame(start, tail)
-            new.fill_obstacles(horizon_time=10.0)
-            new.fix_endpoint_reachability(self.veh_size)
-            self.frames = self.frames[1:] + [new]
-        self._moving_ids = [f.moving_ids() for f in self.frames]
-        self.cnt_frame_switches += 1
-        self._generate_problem(guess="waypoints", handdown=handdown)
+        """Frame switch: recreate the frames FROM THE CURRENT VEHICLE STATE
+        (reference update_frames :433-479 calls create_frames(), which
+        anchors frame 0 at curr_state).  Chaining the new frame 0 off the
+        old frame-1 boundary instead leaves the init constraint
+        (spline_seg0(t0) == curr_state) inconsistent with the hand-down
+        guess -- the solver then diverges and the vehicle executes the
+        infeasible iterate.  A recreate keeps guess and constraint
+        consistent; the structural cache still makes this a parameter
+        update, not a rebuild."""
+        self._create_frames()
+        self._generate_problem(guess="waypoints")
 
     # -- lifecycle ---------------------------------------------------------
     def initialize(self, current_time):
@@ -378,8 +385,12 @@ class SchedulerProblem(Problem):
             self._create_frames()
             self._generate_problem(guess="waypoints")
             self.local_problem.initialize(current_time)
+            # carry the measured input too: enforce_states alone zeroes
+            # the input prediction and the init constraint would brake the
+            # vehicle to a stop at every frame switch
             self.local_problem.predict(current_time, update_time, 0.01,
-                                       enforce_states=True)
+                                       enforce_states=True,
+                                       enforce_inputs=True)
         elif not self._check_frames():
             if len(self.frames) >= 2:
                 self._shift_frames()
@@ -387,8 +398,12 @@ class SchedulerProblem(Problem):
                 self._create_frames()
                 self._generate_problem(guess="waypoints")
             self.local_problem.initialize(current_time)
+            # carry the measured input too: enforce_states alone zeroes
+            # the input prediction and the init constraint would brake the
+            # vehicle to a stop at every frame switch
             self.local_problem.predict(current_time, update_time, 0.01,
-                                       enforce_states=True)
+                                       enforce_states=True,
+                                       enforce_inputs=True)
         self.local_problem.solve(current_time, update_time)
         self.solver_stats = self.local_problem.solver_stats
         self.update_times = self.local_problem.update_times

@@ -99,7 +99,10 @@ def test_scheduler_two_frames_corridor():
     """schedulerproblem_example2-style run: long corridor path, 2-frame
     MultiFrameProblem local problems, overlap hand-off, compiled-problem
     reuse (< 3 distinct builds)."""
-    vehicle = Holonomic(shapes=Circle(0.1))
+    # vmax 1.0: the 11.3 m diagonal at the default 0.5 m/s per axis needs
+    # >160 periods -- more than this test budget even for a perfect planner
+    vehicle = Holonomic(shapes=Circle(0.1),
+                        bounds={"vmax": 1.0, "amax": 2.0})
     vehicle.set_initial_conditions([-4.0, -4.0])
     vehicle.set_terminal_conditions([4.0, 4.0])
     env = Environment(room={"shape": Square(10.0)})

@@ -206,14 +206,20 @@ def openloop_parity(runner, x0, p0, n_steps, outer_iter=2, budgets=None,
     i_spl = runner.i_splines
     for k in range(n_steps):
         phase = k % spk
-        x_warm = jnp.asarray(ref["x_in"][k], dtype=runner.dtype)
         p_k = jnp.asarray(ref["p_in"][k], dtype=runner.dtype)
-        st_in = st._replace(x=x_warm,
-                            feas=jnp.full_like(st.feas, jnp.inf),
-                            stat=jnp.full_like(st.stat, jnp.inf),
-                            n_iter=jnp.zeros_like(st.n_iter))
-        fn = hard if (phase == 0 and k > 0) else easy
-        st = fn(st_in, x_warm, p_k, jnp.asarray(phase))
+        if k > 0:
+            # warm start from the reference iterate, device budgets
+            x_warm = jnp.asarray(ref["x_in"][k], dtype=runner.dtype)
+            st_in = st._replace(x=x_warm,
+                                feas=jnp.full_like(st.feas, jnp.inf),
+                                stat=jnp.full_like(st.stat, jnp.inf),
+                                n_iter=jnp.zeros_like(st.n_iter))
+            fn = hard if phase == 0 else easy
+            st = fn(st_in, x_warm, p_k, jnp.asarray(phase))
+        # k == 0: the device's step-0 solution IS the converged cold solve
+        # (init_solver_state above) -- exactly what rollout_fn executes;
+        # re-solving the cold problem with the warm-step budget would gate
+        # a code path the rollout never runs
         cfs = jnp.asarray(st.x)[jnp.asarray(i_spl)].reshape(n_coef, n_spl)
         _, state_dev = model.update(p_k, cfs, phase + 1, runner.horizon)
         errs.append(float(np.max(np.abs(np.asarray(state_dev, np.float64)
