@@ -50,14 +50,16 @@ INNER_ITER = int(os.environ.get("BENCH_INNER", "5"))
 # f32 batch-tail rescue: the worst K lanes per step get extra ALM rounds
 # (problems/batch.py rollout_fn rescue_lanes) at ~K/BATCH relative cost
 RESCUE = int(os.environ.get("BENCH_RESCUE", "128"))
+# extra ALM outer rounds for rescued lanes (rollout_fn rescue_outer)
+RESCUE_OUTER = int(os.environ.get("BENCH_RESCUE_OUTER", "6"))
 # lanes above this raw violation get a fresh-guess reset at the next step
 # (the rollout analog of reinitialize-on-failure); the f32 divergence mode
 # is a bad warm-start basin, which extra iterations cannot leave
-RECOVER_TOL = float(os.environ.get("BENCH_RECOVER_TOL", "0.02"))
+RECOVER_TOL = float(os.environ.get("BENCH_RECOVER_TOL", "0.01"))
 # phase-adaptive budgets "hardOxhardI,easyOxeasyI": the knot-passage step
 # gets the hard budget, the 9 mid-knot steps the easy one (batch.py
 # rollout_fn budgets); empty string disables
-BUDGETS = os.environ.get("BENCH_BUDGETS", "2x8,1x6")
+BUDGETS = os.environ.get("BENCH_BUDGETS", "3x8,1x7")
 
 
 def _parse_budgets(s):
@@ -70,8 +72,122 @@ def _parse_budgets(s):
 
 
 # BENCH_CONFIG selects the BASELINE.json scenario; p2p_holonomic is the
-# headline metric, the others are the nonholonomic / 3D coverage points
+# headline metric, the others the nonholonomic / 3D / distributed points
 CONFIG = os.environ.get("BENCH_CONFIG", "p2p_holonomic")
+# formation bench knobs
+FLEET_N = int(os.environ.get("BENCH_FLEET_N", "4"))
+ADMM_ITERS = int(os.environ.get("BENCH_ADMM_ITERS", "20"))
+
+
+def measure_peak_tf():
+    """Achieved f32 peak of this chip via a large matmul at the solver's
+    matmul precision ('highest', full-f32 passes) -- the denominator for
+    the honest MFU number."""
+    n = 4096
+    a = jnp.ones((n, n), dtype=jnp.float32)
+    b = jnp.ones((n, n), dtype=jnp.float32)
+
+    @jax.jit
+    def mm(a, b):
+        with jax.default_matmul_precision("highest"):
+            return a @ b
+    mm(a, b).block_until_ready()
+    t0 = time.time()
+    reps = 8
+    for _ in range(reps):
+        c = mm(a, b)
+    c.block_until_ready()
+    dt = (time.time() - t0) / reps
+    return 2.0 * n ** 3 / dt / 1e12
+
+
+def compiled_flops(compiled):
+    """Per-invocation flop count from XLA's cost analysis (None when the
+    backend does not expose it)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def bench_formation():
+    """Distributed coverage point (BASELINE.json formation_holonomic):
+    consensus-ADMM iterations/s for an N-vehicle Holonomic formation with
+    the WHOLE dual update on-device (parallel/fleet_runner.py), plus the
+    residual-decrease curve -- the number the reference never publishes
+    (its dual_update is a serial for-loop of Ipopt calls,
+    ref admm.py:584-628)."""
+    from omg_tools_tpu import (Holonomic, Fleet, Environment, Obstacle,
+                               Circle, Square, FormationPoint2point)
+    from omg_tools_tpu.environment.shapes import RegularPolyhedron
+    from omg_tools_tpu.parallel.fleet_runner import FleetRunner
+
+    t_setup = time.time()
+    vehicles = [Holonomic() for _ in range(FLEET_N)]
+    fleet = Fleet(vehicles)
+    configuration = RegularPolyhedron(0.2, FLEET_N, np.pi / 4).vertices.T
+    fleet.set_configuration(configuration.tolist())
+    fleet.set_initial_conditions(
+        (np.array([-1.5, -1.5]) + configuration).tolist())
+    fleet.set_terminal_conditions(
+        (np.array([2.0, 2.0]) + configuration).tolist())
+    env = Environment(room={"shape": Square(5.0)})
+    env.add_obstacle(Obstacle({"position": [1.5, 0.5]}, shape=Circle(0.4)))
+    problem = FormationPoint2point(
+        fleet, env, options={"horizon_time": 10, "verbose": 0})
+    problem.init()
+
+    runner = FleetRunner(problem, dtype=jnp.float32, outer_iter=OUTER_ITER)
+    carry = runner.make_state(0.0)
+    it = jax.jit(runner.iterate_fn(ADMM_ITERS))
+    carry2, (pri, dua) = it(carry)
+    jax.block_until_ready(pri)
+    setup_s = time.time() - t_setup
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        _, (pri, dua) = it(carry)
+        jax.block_until_ready(pri)
+        times.append(time.time() - t0)
+    run_s = float(np.median(times))
+    iters_per_s = ADMM_ITERS / run_s
+    pri = np.asarray(pri, np.float64)
+    dua = np.asarray(dua, np.float64)
+    # physical consensus quality: pri is the l2 norm over all edge
+    # residual vectors (2 per vehicle, n_sh shared coefficients each, in
+    # meters) -- report the RMS per coefficient and gate it at the same
+    # 2 cm standard as the p2p parity gate
+    n_terms = 2 * runner.N * runner.n_sh
+    consensus_rms_m = float(pri[-1] / np.sqrt(n_terms))
+
+    # receding-horizon fleet rollout throughput (control periods/s)
+    roll = jax.jit(runner.rollout_fn(N_STEPS, iters_per_update=1))
+    carry3, out = roll(carry2)
+    jax.block_until_ready(out["pri"])
+    t0 = time.time()
+    _, out = roll(carry2)
+    jax.block_until_ready(out["pri"])
+    roll_s = time.time() - t0
+
+    print(json.dumps({
+        "metric": "formation_holonomic_admm_iterations_per_s",
+        "value": round(iters_per_s, 1),
+        "unit": "iterations/s",
+        "vs_baseline": round(iters_per_s / 10.0, 3),  # 10 Hz control rate
+        "fleet_n": FLEET_N,
+        "device": str(jax.devices()[0]),
+        "residual_curve_pri": [round(float(v), 6) for v in pri],
+        "residual_curve_dua": [round(float(v), 6) for v in dua],
+        "residual_decrease": round(float(pri[0] / max(pri[-1], 1e-12)), 1),
+        "consensus_rms_m": round(consensus_rms_m, 5),
+        "consensus_ok": bool(consensus_rms_m < 0.02),
+        "rollout_periods_per_s": round(N_STEPS / roll_s, 1),
+        "setup_s": round(setup_s, 1),
+    }))
 
 
 def build_problem():
@@ -115,6 +231,9 @@ def build_problem():
 
 
 def main():
+    if CONFIG.startswith("formation"):
+        bench_formation()
+        return
     t_setup = time.time()
     problem = build_problem()
     from omg_tools_tpu.problems.batch import BatchedP2PRunner
@@ -140,6 +259,7 @@ def main():
 
     roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=OUTER_ITER,
                                      rescue_lanes=RESCUE,
+                                     rescue_outer=RESCUE_OUTER,
                                      recover_tol=RECOVER_TOL,
                                      budgets=_parse_budgets(BUDGETS)))
     carry, states = roll(st, p0, state, consts)   # compile + first run
@@ -155,6 +275,27 @@ def main():
     run_s = float(np.median(times))
     solves_per_s = BATCH * N_STEPS / run_s
     p50_latency_ms = run_s / N_STEPS / BATCH * 1000.0
+
+    # utilization: achieved TF/s of the rollout step (XLA cost analysis)
+    # against this chip's measured f32 peak at the solver's matmul
+    # precision -- distance from speed-of-light, not just solves/s
+    util = {}
+    if os.environ.get("BENCH_SKIP_UTIL", "0") != "1":
+        try:
+            lowered = jax.jit(runner.rollout_fn(
+                N_STEPS, outer_iter=OUTER_ITER, rescue_lanes=RESCUE,
+                rescue_outer=RESCUE_OUTER, recover_tol=RECOVER_TOL,
+                budgets=_parse_budgets(BUDGETS))).lower(
+                    st, p0, state, consts)
+            flops = compiled_flops(lowered.compile())
+            if flops:
+                peak_tf = measure_peak_tf()
+                achieved_tf = flops / run_s / 1e12
+                util = {"achieved_tf_per_s": round(achieved_tf, 3),
+                        "peak_f32_tf_per_s": round(peak_tf, 2),
+                        "mfu_f32": round(achieved_tf / peak_tf, 4)}
+        except Exception:
+            util = {}
 
     # sanity: scenarios make progress toward their goals and stay feasible
     states = np.asarray(states)
@@ -245,6 +386,7 @@ def main():
         "setup_s": round(setup_s, 1),
         "structure": runner.structure,
         "affine_cA": bool(runner.affine_cA),
+        **util,
         **parity,
     }))
 

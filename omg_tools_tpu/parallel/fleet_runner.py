@@ -1,0 +1,488 @@
+"""On-device receding-horizon consensus-ADMM fleet loop.
+
+The host path (problems/admm.py dual_update) runs the z/lambda consensus in
+numpy every iteration -- a device<->host round trip inside the hot loop.
+This module puts the WHOLE fleet MPC loop on-device as one jitted
+``lax.scan`` over control periods (the fleet analog of
+problems/batch.py rollout_fn), with
+
+- vmapped warm-started x-updates (one ALM solve per vehicle, batched),
+- the future-piece transform at every phase: per-phase
+  ``shiftfirstknot_T`` / projection matrices precomputed on host for the
+  steps_per_knot DISCRETE phases and gathered by the traced phase index
+  (no data-dependent control flow; reference admm.py:86-88,143-145),
+- knot-passage shifts of X/Z/L inside the scan (reference admm.py:477-491),
+- the z-projection + lambda updates as pure matmuls,
+- plant updates through the vehicle rollout recipe
+  (problems/rollout_models.py).
+
+Fleet communication: on one chip the circular-graph neighbor exchange is an
+index roll; on a device mesh the vehicle axis is sharded with shard_map and
+the exchange is a single ``lax.ppermute`` ring step over ICI, residuals via
+``psum``/``pmax`` (reference communicate(), admm.py:468-475, where it is
+in-process attribute access).  Arbitrary fleet sizes are supported on the
+mesh by padding to equal per-device blocks and routing the ring exchange
+through a gathered table when N does not divide the axis.
+
+Heterogeneous fleets (several vehicle-type groups, reference
+separate_per_build distributedproblem.py:88-103) run fused on one chip:
+per-group vmapped solves + scatter into the fleet-wide shared matrix.  The
+mesh path requires a homogeneous fleet (one compiled program per device).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["FleetRunner"]
+
+
+class FleetCarry(NamedTuple):
+    X: tuple           # per-group (n_i, n_x_g) primal iterates
+    st: tuple          # per-group ALMState pytrees (warm solver state)
+    Pp: tuple          # per-group (n_i, n_p_g) parameter vectors
+    Z: jax.Array       # (n_edges, n_sh)
+    L: jax.Array       # (N, n_slots, n_sh)
+
+
+class _ModelAdapter:
+    """Quacks like a BatchedP2PRunner for problems/rollout_models.py."""
+
+    def __init__(self, template, update_time, dtype):
+        self.problem = template
+        self.vehicle = template.vehicles[0]
+        self.tr = template.transcription
+        self.update_time = update_time
+        self.horizon = float(template.options["horizon_time"])
+        knot_time = float(template.knot_time)
+        self.steps_per_knot = int(round(knot_time / update_time))
+        self.dtype = dtype
+
+
+class FleetRunner:
+    """Jitted fleet-ADMM stepper for an initialized
+    :class:`problems.admm.ADMMProblem` (e.g. FormationPoint2point).
+
+    ``mesh``/``axis``: optional jax mesh; the vehicle dimension is then
+    sharded over ``axis`` and consensus communication becomes
+    ppermute/psum collectives.  Requires a homogeneous fleet.
+    """
+
+    def __init__(self, admm_problem, dtype=jnp.float32, update_time=0.1,
+                 mesh: Optional[Mesh] = None, axis: str = "fleet",
+                 outer_iter: int = 2):
+        ap = admm_problem
+        self.ap = ap
+        self.dtype = dtype
+        self.update_time = float(update_time)
+        self.mesh = mesh
+        self.axis = axis
+        self.outer_iter = outer_iter
+        self.N = ap.N
+        self.n_sh = ap.n_sh
+        self.n_slots = ap.n_slots
+        self.n_edges = ap.n_edges
+        self.rho = float(ap.rho)
+        self.circular = ap.n_edges > 1
+
+        if mesh is not None and len(ap.groups) != 1:
+            raise NotImplementedError(
+                "mesh-sharded fleet loop needs a homogeneous fleet (one "
+                "compiled template); heterogeneous fleets run fused on one "
+                "chip (mesh=None)")
+
+        tmpl = ap.template
+        self.horizon = float(tmpl.options["horizon_time"])
+        self.knot_time = float(tmpl.knot_time)
+        self.spk = int(round(self.knot_time / self.update_time))
+
+        # per-phase future-piece transforms (t0 = phase*dt / horizon):
+        # stacked (spk, n_sh, n_sh) tensors gathered by the traced phase
+        TfT, TfinvT, projT = [], [], []
+        eye = np.eye(self.n_sh)
+        for ph in range(self.spk):
+            t0 = ph * self.update_time / self.horizon
+            Tf = ap._shared_transform(t0)
+            proj = ap._projection_for(Tf)
+            if Tf is None:
+                TfT.append(eye)
+                TfinvT.append(eye)
+            else:
+                TfT.append(Tf.T)
+                TfinvT.append(np.linalg.inv(Tf).T)
+            projT.append(proj.T)
+        self.TfT = jnp.asarray(np.stack(TfT), dtype=dtype)
+        self.TfinvT = jnp.asarray(np.stack(TfinvT), dtype=dtype)
+        self.projT = jnp.asarray(np.stack(projT), dtype=dtype)
+        self.sh_shiftT = jnp.asarray(ap._shared_shift().T, dtype=dtype)
+
+        # per-group constants
+        self.groups = ap.groups
+        self._g = []
+        for group in ap.groups:
+            tr = group.template.transcription
+            i_z, _ = tr.par_slice(group.template, "admm_z")
+            i_l, _ = tr.par_slice(group.template, "admm_l")
+            i_t, _ = tr.par_slice(group.template, "t")
+            adapter = _ModelAdapter(group.template, self.update_time, dtype)
+            from ..problems.rollout_models import make_rollout_model
+            model = make_rollout_model(adapter)
+            rows = np.asarray(group.indices)
+            edges = np.stack([ap._slot_edges(i) for i in group.indices])
+            rel = np.stack([ap._rel_offsets(i) for i in group.indices])
+            lb, ub = group.lb, group.ub
+            self._g.append(dict(
+                tr=tr, solver=group.template._solver,
+                i_spl=np.arange(*self._spl_range(group)),
+                spl_shape=tr.var_slice(group.template.vehicles[0],
+                                       "splines_seg0")[1],
+                i_z=np.arange(i_z.start, i_z.stop),
+                i_l=np.arange(i_l.start, i_l.stop),
+                i_t=np.arange(i_t.start, i_t.stop),
+                S_idx=np.asarray(group.S_idx),
+                rel=rel, rows=rows, edges=edges,
+                x_shiftT=jnp.asarray(group.x_shift.T, dtype=dtype),
+                lb=jnp.asarray(np.asarray(lb), dtype=dtype),
+                ub=jnp.asarray(np.asarray(ub), dtype=dtype),
+                model=model))
+
+    @staticmethod
+    def _spl_range(group):
+        sl, _ = group.template.transcription.var_slice(
+            group.template.vehicles[0], "splines_seg0")
+        return sl.start, sl.stop
+
+    # -- state construction -------------------------------------------------
+    def make_state(self, current_time=0.0):
+        """Initial device state from the host-side ADMM problem: packed
+        parameters, warm X, Z, L."""
+        ap = self.ap
+        X, Pp = [], []
+        for group, g in zip(ap.groups, self._g):
+            P_np = ap._pack_params(group, current_time)
+            Pp.append(jnp.asarray(P_np, dtype=self.dtype))
+            X.append(jnp.asarray(group.X, dtype=self.dtype))
+        Z = jnp.asarray(ap.Z, dtype=self.dtype)
+        L = jnp.asarray(ap.L, dtype=self.dtype)
+        st = tuple(self._cold_state(g, x, p)
+                   for g, x, p in zip(self._g, X, Pp))
+        return FleetCarry(X=tuple(X), st=st, Pp=tuple(Pp), Z=Z, L=L)
+
+    def _cold_state(self, g, X, Pp):
+        """Converged cold solves for the initial warm state (vmapped)."""
+        solve = jax.vmap(lambda x, p: g["solver"](x, p, g["lb"], g["ub"]))
+        return jax.jit(solve)(X, Pp)
+
+    def sync_to_host(self, carry: FleetCarry):
+        """Copy the device state back into the host ADMM problem (for
+        store/plotting)."""
+        ap = self.ap
+        for group, X in zip(ap.groups, carry.X):
+            group.X = np.asarray(X, dtype=np.float64)
+        ap.Z = np.asarray(carry.Z, dtype=np.float64)
+        ap.L = np.asarray(carry.L, dtype=np.float64)
+
+    # -- the consensus iteration (pure; jit/vmap/shard_map-safe) ------------
+    def _solve_groups(self, X, st, Pp, Z, L, reset_lam):
+        """x-updates: write z/l into the parameters, one vmapped
+        warm-started solve per group.  Returns (X', st', S) with S the
+        fleet-wide shared matrix (N, n_sh)."""
+        X_n, st_n = [], []
+        S = jnp.zeros((self.N, self.n_sh), dtype=Z.dtype)
+        for g, Xg, stg, Pg in zip(self._g, X, st, Pp):
+            rows = Xg.shape[0]
+            Zrows = Z[jnp.asarray(g["edges"])].reshape(rows, -1)
+            Lrows = L[jnp.asarray(g["rows"])].reshape(rows, -1)
+            Pg = Pg.at[:, jnp.asarray(g["i_z"])].set(Zrows)
+            Pg = Pg.at[:, jnp.asarray(g["i_l"])].set(Lrows)
+            inf = jnp.full_like(stg.feas, jnp.inf)
+            st_in = stg._replace(
+                x=Xg,
+                lam=jnp.where(reset_lam, jnp.zeros_like(stg.lam), stg.lam),
+                feas=inf, stat=inf, n_iter=jnp.zeros_like(stg.n_iter))
+            solve = jax.vmap(lambda x, p, s: g["solver"](
+                x, p, g["lb"], g["ub"], state0=s,
+                outer_iter=self.outer_iter))
+            stg2 = solve(Xg, Pg, st_in)
+            X_n.append(stg2.x)
+            st_n.append(stg2)
+            Sg = stg2.x[:, jnp.asarray(g["S_idx"])] \
+                + jnp.asarray(g["rel"], dtype=Z.dtype)
+            S = S.at[jnp.asarray(g["rows"])].set(Sg)
+        return tuple(X_n), tuple(st_n), S
+
+    def _consensus(self, S, Z, L, phase):
+        """z-update (projection in future-piece coordinates), lambda update
+        in original coordinates, residuals (reference admm.py:117-307)."""
+        rho = self.rho
+        TfT = self.TfT[phase]
+        S_t = S @ TfT
+        L_t = jnp.einsum("nks,st->nkt", L, TfT)
+        if self.circular:
+            slot_next = L_t[:, 0, :]
+            slot_prev = jnp.roll(L_t[:, 1, :], -1, axis=0)
+            S_next = jnp.roll(S_t, -1, axis=0)
+            avg = 0.5 * (S_t + slot_next / rho + S_next + slot_prev / rho)
+        else:
+            avg = jnp.mean(S_t + L_t[:, 0, :] / rho, axis=0,
+                           keepdims=True)
+        Zt_new = avg @ self.projT[phase]
+        Z_new = Zt_new @ self.TfinvT[phase]
+        # lambda in ORIGINAL coordinates (reference admm.py:248-268)
+        if self.circular:
+            Z_self = Z_new
+            Z_prev = jnp.roll(Z_new, 1, axis=0)
+            L0 = L[:, 0, :] + rho * (S - Z_self)
+            L1 = L[:, 1, :] + rho * (S - Z_prev)
+            L_new = jnp.stack([L0, L1], axis=1)
+            pr2 = jnp.sum((S_t - Zt_new) ** 2) \
+                + jnp.sum((S_t - jnp.roll(Zt_new, 1, axis=0)) ** 2)
+        else:
+            L_new = L + rho * (S - Z_new)[:, None, :]
+            pr2 = jnp.sum((S_t - Zt_new) ** 2)
+        Zt_prev = jnp.einsum("es,st->et", Z, TfT)
+        dr2 = rho * jnp.sum((Zt_new - Zt_prev) ** 2)
+        return Z_new, L_new, jnp.sqrt(pr2), jnp.sqrt(dr2)
+
+    def _iteration(self, carry: FleetCarry, phase, reset_lam):
+        X, st, S = self._solve_groups(carry.X, carry.st, carry.Pp,
+                                      carry.Z, carry.L, reset_lam)
+        Z, L, pri, dua = self._consensus(S, carry.Z, carry.L, phase)
+        return carry._replace(X=X, st=st, Z=Z, L=L), (pri, dua)
+
+    # -- public jittable drivers -------------------------------------------
+    def iterate_fn(self, n_iter, phase=0):
+        """(carry, reset_lam=False) -> (carry, (pri, dua) arrays): n_iter
+        consensus iterations at a fixed time -- the init_iter phase
+        (reference dualmethod.py:209-216) and the ADMM benchmark kernel.
+        ``reset_lam`` (traced bool) drops the solver's multiplier warm
+        state on the first iteration (after a knot-passage shift)."""
+        def run(carry, reset_lam=False):
+            reset_lam = jnp.asarray(reset_lam)
+
+            def body(c, i):
+                c, res = self._iteration(c, jnp.asarray(phase),
+                                         reset_lam & (i == 0))
+                return c, res
+            return jax.lax.scan(body, carry, jnp.arange(n_iter))
+        return run
+
+    def rollout_fn(self, n_steps, iters_per_update=1):
+        """(carry) -> (carry, outs): advance ``n_steps`` control periods
+        on-device.  Each period: knot shift when due, ``iters_per_update``
+        consensus iterations, ideal plant update through the vehicle
+        recipes.  outs = dict(pri, dua, states(B-like (N, n_steps, n_dim)))."""
+        spk = self.spk
+        dt = self.update_time
+
+        def step(carry, k):
+            phase = k % spk
+            do_shift = (phase == 0) & (k > 0)
+            # knot-passage shift of X/Z/L (reference admm.py:477-491);
+            # the solver's multiplier state loses row correspondence -> the
+            # x-update gets lam reset on shift steps (host: alm_state=None)
+            X = tuple(jnp.where(do_shift, Xg @ g["x_shiftT"], Xg)
+                      for g, Xg in zip(self._g, carry.X))
+            Z = jnp.where(do_shift, carry.Z @ self.sh_shiftT, carry.Z)
+            L = jnp.where(do_shift,
+                          jnp.einsum("nks,st->nkt", carry.L, self.sh_shiftT),
+                          carry.L)
+            Pp = tuple(Pg.at[:, jnp.asarray(g["i_t"])].set(
+                (phase * dt) * jnp.ones((Pg.shape[0], 1), dtype=Pg.dtype))
+                for g, Pg in zip(self._g, carry.Pp))
+            carry = carry._replace(X=X, Z=Z, L=L, Pp=Pp)
+
+            def one(c, _):
+                c, res = self._iteration(c, phase, do_shift)
+                return c, res
+            carry, res = jax.lax.scan(one, carry, None,
+                                      length=iters_per_update)
+            pri, dua = res[0][-1], res[1][-1]
+            # ideal plant update: sample the solved splines one period
+            # ahead, write state0/input0 back into the parameters
+            Pp, states = [], []
+            for g, Xg, Pg in zip(self._g, carry.X, carry.Pp):
+                cfs = Xg[:, jnp.asarray(g["i_spl"])].reshape(
+                    (Xg.shape[0],) + tuple(g["spl_shape"]))
+                upd = jax.vmap(lambda p, c: g["model"].update(
+                    p, c, phase + 1, self.horizon))
+                Pg, st_g = upd(Pg, cfs)
+                Pp.append(Pg)
+                states.append(st_g)
+            carry = carry._replace(Pp=tuple(Pp))
+            out_states = jnp.concatenate(states, axis=0) \
+                if len(states) > 1 else states[0]
+            return carry, (pri, dua, out_states)
+
+        def run(carry):
+            carry, (pri, dua, states) = jax.lax.scan(
+                step, carry, jnp.arange(n_steps))
+            return carry, {"pri": pri, "dua": dua,
+                           "states": jnp.moveaxis(states, 0, 1)}
+        return run
+
+    # -- mesh-sharded variant ----------------------------------------------
+    def mesh_iterate_fn(self, n_iter, phase=0):
+        """Mesh-sharded version of :meth:`iterate_fn`: vehicles sharded
+        over ``self.axis``; neighbor exchange via ppermute (ring) or a
+        gathered table (N not divisible), residuals via pmax/psum."""
+        if self.mesh is None:
+            raise ValueError("construct the FleetRunner with a mesh")
+        mesh, axis = self.mesh, self.axis
+        n_dev = mesh.shape[axis]
+        N = self.N
+        blk = -(-N // n_dev)          # padded block size
+        N_pad = blk * n_dev
+        ring = (N == N_pad)
+        g = self._g[0]
+        spec_v = P(axis)
+
+        rho = self.rho
+        TfT = self.TfT[phase]
+        TfinvT = self.TfinvT[phase]
+        projT = self.projT[phase]
+        perm_fwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        perm_bwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+        def local(X, Pp, Z, L, rel, mask):
+            # one device's block (blk rows); mask zeroes padded rows
+            def body(c, _):
+                X, Z, L = c
+                rows = X.shape[0]
+                Zrows = jnp.concatenate([Z, _pull_prev_rows(Z)], axis=1) \
+                    if self.circular else jnp.broadcast_to(
+                        Z.reshape(1, -1), (rows, self.n_sh))
+                Pl = Pp.at[:, jnp.asarray(g["i_z"])].set(
+                    Zrows.reshape(rows, -1))
+                Pl = Pl.at[:, jnp.asarray(g["i_l"])].set(
+                    L.reshape(rows, -1))
+                solve = jax.vmap(lambda x, p: g["solver"](
+                    x, p, g["lb"], g["ub"], outer_iter=self.outer_iter))
+                st = solve(X, Pl)
+                Xn = st.x
+                S = Xn[:, jnp.asarray(g["S_idx"])] + rel
+                S_t = S @ TfT
+                L_t = jnp.einsum("nks,st->nkt", L, TfT)
+                if self.circular:
+                    S_next = _pull_next(S_t)
+                    slot_prev = _pull_next_col(L_t[:, 1, :])
+                    avg = 0.5 * (S_t + L_t[:, 0, :] / rho
+                                 + S_next + slot_prev / rho)
+                    Zt_new = avg @ projT
+                    Z_new = Zt_new @ TfinvT
+                    Z_prev = _pull_prev(Z_new)
+                    L0 = L[:, 0, :] + rho * (S - Z_new)
+                    L1 = L[:, 1, :] + rho * (S - Z_prev)
+                    L_new = jnp.stack([L0, L1], axis=1)
+                    pr2 = jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2) \
+                        + jnp.sum(mask[:, None]
+                                  * (S_t - _pull_prev(Zt_new)) ** 2)
+                    Zt_prev = jnp.einsum("es,st->et", Z, TfT)
+                    dr2 = rho * jnp.sum(mask[:, None]
+                                        * (Zt_new - Zt_prev) ** 2)
+                else:
+                    # full graph: global average over ICI
+                    s_sum = jax.lax.psum(
+                        jnp.sum(mask[:, None] * (S_t + L_t[:, 0, :] / rho),
+                                axis=0), axis)
+                    avg = s_sum / N
+                    Zt_new = (avg @ projT).reshape(1, -1)
+                    Z_new = Zt_new @ TfinvT
+                    L_new = L + rho * (S - Z_new)[:, None, :]
+                    pr2 = jax.lax.psum(
+                        jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2), axis)
+                    Zt_prev = jnp.einsum("es,st->et", Z, TfT)
+                    dr2 = rho * jnp.sum((Zt_new - Zt_prev) ** 2)
+                if self.circular:
+                    pr2 = jax.lax.psum(pr2, axis)
+                    dr2 = jax.lax.psum(dr2, axis)
+                return (Xn, Z_new, L_new), (jnp.sqrt(pr2), jnp.sqrt(dr2))
+
+            return jax.lax.scan(body, (X, Z, L), None, length=n_iter)
+
+        # ring exchange helpers (divisible N) vs gathered-table fallback
+        if ring:
+            def _pull_next(Sb):
+                # S_{i+1}: in-block shift; boundary row from the next device
+                shifted = jnp.roll(Sb, -1, axis=0)
+                from_next = jax.lax.ppermute(Sb[:1], axis, perm_fwd)
+                return shifted.at[-1:].set(from_next)
+
+            _pull_next_col = _pull_next
+
+            def _pull_prev(Zb):
+                shifted = jnp.roll(Zb, 1, axis=0)
+                from_prev = jax.lax.ppermute(Zb[-1:], axis, perm_bwd)
+                return shifted.at[:1].set(from_prev)
+
+            def _pull_prev_rows(Zb):
+                # Z of edge i-1 for every local row i (second z slot)
+                return _pull_prev(Zb)
+        else:
+            # padded blocks: route neighbor lookup through an all_gather
+            idx_next = jnp.asarray(
+                [( (i + 1) % N) for i in range(N)] + [0] * (N_pad - N))
+            idx_prev = jnp.asarray(
+                [( (i - 1) % N) for i in range(N)] + [0] * (N_pad - N))
+
+            def _gather(Sb):
+                return jax.lax.all_gather(Sb, axis, tiled=True)
+
+            def _pull_next(Sb):
+                full = _gather(Sb)
+                me = jax.lax.axis_index(axis)
+                rows = me * blk + jnp.arange(blk)
+                return full[idx_next[rows]]
+
+            _pull_next_col = _pull_next
+
+            def _pull_prev(Zb):
+                full = _gather(Zb)
+                me = jax.lax.axis_index(axis)
+                rows = me * blk + jnp.arange(blk)
+                return full[idx_prev[rows]]
+
+            _pull_prev_rows = _pull_prev
+
+        # full-graph consensus has ONE shared z (replicated); circular has
+        # one edge per vehicle (sharded alongside it)
+        spec_z = spec_v if self.circular else P()
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
+            out_specs=((spec_v, spec_z, spec_v), (P(), P())))
+
+        g0 = self._g[0]
+        rel_full = np.zeros((N_pad, self.n_sh))
+        rel_full[:N] = g0["rel"]
+        mask_full = np.zeros(N_pad)
+        mask_full[:N] = 1.0
+
+        def run(X, Pp, Z, L):
+            """X:(N, n_x) P:(N, n_p) Z:(n_edges, n_sh) L:(N, slots, n_sh);
+            padding and device placement handled here."""
+            def pad(a):
+                if a.shape[0] == N_pad:
+                    return a
+                fill = jnp.repeat(a[-1:], N_pad - a.shape[0], axis=0)
+                return jnp.concatenate([a, fill], axis=0)
+            Xp, Pq, Lp = pad(X), pad(Pp), pad(L)
+            Zp = pad(Z) if self.circular else Z
+            args = [Xp, Pq, Zp, Lp,
+                    jnp.asarray(rel_full, dtype=X.dtype),
+                    jnp.asarray(mask_full, dtype=X.dtype)]
+            for j, a in enumerate(args):
+                if j == 2 and not self.circular:
+                    sh = NamedSharding(mesh, P())       # replicated z
+                else:
+                    sh = NamedSharding(mesh,
+                                       P(axis, *([None] * (a.ndim - 1))))
+                args[j] = jax.device_put(a, sh)
+            (Xn, Zn, Ln), res = sharded(*args)
+            return (Xn[:N], Zn[:N] if self.circular else Zn, Ln[:N]), res
+        return run

@@ -367,8 +367,65 @@ class ADMMProblem(DistributedProblem):
         coordinates (t0 = 0) -- used by the export layer and the mesh path."""
         return self._projection_for(None)
 
+    # -- device loop --------------------------------------------------------
+    def enable_device_loop(self, dtype=None, update_time=0.1,
+                           outer_iter: int = 2):
+        """Route dual updates through the fully on-device consensus loop
+        (parallel/fleet_runner.py): x-updates, future-piece transform,
+        z-projection, lambda updates and residuals run inside ONE jitted
+        call per control period -- no numpy consensus in the hot loop.
+        Call after init()."""
+        import jax.numpy as jnp
+        from ..parallel.fleet_runner import FleetRunner
+        dtype = dtype or (jnp.float64 if jax.config.jax_enable_x64
+                          else jnp.float32)
+        self._runner = FleetRunner(self, dtype=dtype,
+                                   update_time=update_time,
+                                   outer_iter=outer_iter)
+        self._device_carry = None
+        self._device_iter = jax.jit(self._runner.iterate_fn(1))
+        self._device_iter_ph = {}
+
+    def _device_dual_update(self, current_time):
+        """One consensus iteration through the jitted device step: the host
+        refreshes the parameters (vehicle predictions / obstacle motion)
+        and hands X/Z/L to the device; the x-updates, future-piece
+        transform, z-projection, lambda updates and residuals all run in
+        ONE compiled call (per distinct phase)."""
+        runner = self._runner
+        dt = runner.dtype
+        if self._device_carry is None:
+            self._device_carry = runner.make_state(current_time)
+        carry = self._device_carry
+        carry = carry._replace(
+            X=tuple(jnp.asarray(g.X, dtype=dt) for g in self.groups),
+            Pp=tuple(jnp.asarray(self._pack_params(g, current_time),
+                                 dtype=dt) for g in self.groups),
+            Z=jnp.asarray(self.Z, dtype=dt),
+            L=jnp.asarray(self.L, dtype=dt))
+        t0 = self.time_parameter(current_time) / \
+            self.template.options["horizon_time"]
+        phase = int(round(t0 * runner.horizon / runner.update_time)) \
+            % runner.spk
+        if phase not in self._device_iter_ph:
+            self._device_iter_ph[phase] = jax.jit(
+                runner.iterate_fn(1, phase=phase))
+        reset = getattr(self, "_device_reset", False)
+        self._device_reset = False
+        carry, (pri, dua) = self._device_iter_ph[phase](carry, reset)
+        self._device_carry = carry
+        runner.sync_to_host(carry)
+        pri_res = float(np.asarray(pri)[-1])
+        dual_res = float(np.asarray(dua)[-1])
+        if self.nesterov:
+            self._accelerate(self.rho * pri_res ** 2 + dual_res ** 2)
+        self.residuals.append((pri_res, dual_res))
+        return pri_res, dual_res
+
     # -- the ADMM iteration -------------------------------------------------
     def dual_update(self, current_time):
+        if getattr(self, "_runner", None) is not None:
+            return self._device_dual_update(current_time)
         # 1. x-updates, one vmapped solve per vehicle-type group
         for group in self.groups:
             P = self._pack_params(group, current_time)
@@ -509,6 +566,7 @@ class ADMMProblem(DistributedProblem):
             for group in self.groups:
                 group.X = group.X @ group.x_shift.T
                 group.alm_state = None
+            self._device_reset = True   # device path: drop lam warm state
             self.Z = self.Z @ self._sh_shift.T
             self.L = self.L @ self._sh_shift.T
             self._Z_p = self._Z_p @ self._sh_shift.T
