@@ -113,7 +113,22 @@ Point2Point::Point2Point(const std::string& dir, SolverOptions options)
   degree_ = static_cast<int>(data_.sc("spline_degree"));
   opt_.rho_init = data_.sc("rho_init");
   opt_.rho_max = data_.sc("rho_max");
+  const int n_tobs = data_.has("n_traj_obstacles")
+                         ? static_cast<int>(data_.sc("n_traj_obstacles"))
+                         : 0;
+  for (int o = 0; o < n_tobs; ++o) {
+    tobs_off_.push_back(
+        static_cast<int>(data_.sc("tobs" + std::to_string(o) + "_coeffs")));
+    tobs_nb_.push_back(
+        static_cast<int>(data_.sc("tobs" + std::to_string(o) + "_nb")));
+    tobs_dim_.push_back(
+        static_cast<int>(data_.sc("tobs" + std::to_string(o) + "_dim")));
+  }
   reset();
+}
+
+void Point2Point::setTrajObstacle(int o, const std::vector<double>& coeffs) {
+  tobs_coeffs_[o] = coeffs;
 }
 
 void Point2Point::reset() {
@@ -123,6 +138,12 @@ void Point2Point::reset() {
   rho_ = opt_.rho_init;
   phase_ = 0;
   first_ = true;
+  tobs_coeffs_.clear();
+  for (size_t o = 0; o < tobs_off_.size(); ++o) {
+    const int n = tobs_nb_[o] * tobs_dim_[o];
+    tobs_coeffs_.emplace_back(p_.begin() + tobs_off_[o],
+                              p_.begin() + tobs_off_[o] + n);
+  }
 }
 
 void Point2Point::buildParams(const std::array<double, 2>& state0,
@@ -150,6 +171,10 @@ void Point2Point::buildParams(const std::array<double, 2>& state0,
       p_[iv + k] = obstacles[o].velocity[k];
       p_[ia + k] = obstacles[o].acceleration[k];
     }
+  }
+  for (size_t o = 0; o < tobs_off_.size(); ++o) {
+    const std::vector<double>& cf = tobs_coeffs_[o];
+    for (size_t j = 0; j < cf.size(); ++j) p_[tobs_off_[o] + j] = cf[j];
   }
 }
 
@@ -388,6 +413,21 @@ bool Point2Point::update(const std::array<double, 2>& state0,
     (*next_input)[k] = s1 / horizon;
   }
   phase_ = (phase_ + 1) % n_phases_;
+  // advance the trajectory-obstacle splines one control period (the
+  // caller can overwrite with setTrajObstacle before the next update)
+  for (size_t o = 0; o < tobs_off_.size(); ++o) {
+    const Array& M = data_.arr("traj_shift" + std::to_string(o));
+    const int nb = tobs_nb_[o], nd = tobs_dim_[o];
+    std::vector<double> nc(static_cast<size_t>(nb) * nd, 0.0);
+    for (int i = 0; i < nb; ++i)
+      for (int j = 0; j < nb; ++j) {
+        const double m = M.data[static_cast<long>(i) * nb + j];
+        for (int k = 0; k < nd; ++k)
+          nc[static_cast<size_t>(i) * nd + k] +=
+              m * tobs_coeffs_[o][static_cast<size_t>(j) * nd + k];
+      }
+    tobs_coeffs_[o] = nc;
+  }
   return feas_ < 1e-3;
 }
 

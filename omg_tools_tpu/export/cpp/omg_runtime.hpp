@@ -36,6 +36,7 @@ struct ProblemData {
   static ProblemData load(const std::string& dir);
   const Array& arr(const std::string& name) const { return arrays.at(name); }
   double sc(const std::string& name) const { return scalars.at(name); }
+  bool has(const std::string& name) const { return scalars.count(name) > 0; }
 };
 
 // Dense Cholesky factorization/solve (in place, lower triangular).
@@ -80,6 +81,15 @@ class Point2Point {
   // remaining horizon (de Boor evaluation).
   void sampleTrajectory(int n, std::vector<double>* xy) const;
 
+  // Spline-trajectory obstacle slots (reference export.py:446-476
+  // traj_coeffs marshalling): the caller supplies a coefficient matrix
+  // (n_b x n_dim, row-major) describing the obstacle position over the
+  // horizon; when not refreshed, the runtime advances the stored
+  // trajectory one control period per update via the exported re-basing
+  // transform (the embedded analog of the batched rollout's propagation).
+  void setTrajObstacle(int o, const std::vector<double>& coeffs);
+  int nTrajObstacles() const { return static_cast<int>(tobs_off_.size()); }
+
   virtual ~Point2Point() = default;
 
   void reset();
@@ -115,6 +125,8 @@ class Point2Point {
   double rho_, feas_ = 1e30;
   std::vector<double> c_, A_;        // per-solve affine pieces (A dense m*n)
   std::vector<double> gval_, J_, grad_, H_, dx_, yhat_;
+  std::vector<int> tobs_off_, tobs_nb_, tobs_dim_;
+  std::vector<std::vector<double>> tobs_coeffs_;
 };
 
 double evalSplinePoint(const std::vector<double>& knots, int degree,

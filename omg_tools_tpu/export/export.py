@@ -87,6 +87,13 @@ class Export:
         man["obstacle_idx"] = [
             [int(ix[0]), int(iv[0]), int(ia[0])]
             for (ix, iv, ia) in runner.obstacle_idx]
+        # spline-trajectory obstacles (reference export.py:446-476
+        # traj_coeffs marshalling): parameter offset + shape per slot, and
+        # the per-period re-basing transform the runtime applies when the
+        # caller does not supply fresh coefficients
+        man["traj_obstacle_idx"] = [
+            [int(ic[0]), int(cshape[0]), int(cshape[1])]
+            for (ic, cshape, _) in runner.traj_obstacle_idx]
         man["rho_init"] = 100.0
         man["rho_max"] = 1e4
 
@@ -137,6 +144,9 @@ class Export:
         _write_array(data_dir, "x_init", tr.initial_guess(), manifest)
         # spline sampling data
         _write_array(data_dir, "knots", vehicle.basis.knots, manifest)
+        for o, (_, _, M_obs) in enumerate(runner.traj_obstacle_idx):
+            _write_array(data_dir, f"traj_shift{o}", np.asarray(M_obs),
+                         manifest)
         _write_array(data_dir, "E0", np.asarray(runner.E0), manifest)
         _write_array(data_dir, "E1", np.asarray(runner.E1), manifest)
 
@@ -151,6 +161,12 @@ class Export:
                         f.write(f"scalar obs{o}_x {ix}\n")
                         f.write(f"scalar obs{o}_v {iv}\n")
                         f.write(f"scalar obs{o}_a {ia}\n")
+                elif k == "traj_obstacle_idx":
+                    f.write(f"scalar n_traj_obstacles {len(v)}\n")
+                    for o, (ic, nb, nd) in enumerate(v):
+                        f.write(f"scalar tobs{o}_coeffs {ic}\n")
+                        f.write(f"scalar tobs{o}_nb {nb}\n")
+                        f.write(f"scalar tobs{o}_dim {nd}\n")
                 else:
                     f.write(f"scalar {k} {v}\n")
             for name, info in manifest["arrays"].items():

@@ -31,6 +31,15 @@ class Trailer(Vehicle):
         self.tmax = bounds.get("tmax", np.pi / 4.0)
         self.tmin = bounds.get("tmin", -np.pi / 4.0)
 
+    def define_knots(self, knot_intervals=None, knots=None):
+        # the combined spline variables live on the TRAILER's basis, and the
+        # init guess stacks the lead's guess next to the trailer's -- keep
+        # the lead's knot structure in lockstep
+        Vehicle.define_knots(self, knot_intervals=knot_intervals,
+                             knots=knots)
+        self.lead_veh.define_knots(knot_intervals=knot_intervals,
+                                   knots=knots)
+
     def init(self):
         self.lead_veh.problem_t = self.problem_t
         self.lead_veh.problem_T = self.problem_T
@@ -118,8 +127,11 @@ class Trailer(Vehicle):
                      - self.prediction["state"][2]) * (1 + tg_ha_tr0 ** 2)]
         if hasattr(self, "theta_trT"):
             parameters[self]["tg_ha_trT"] = [np.tan(self.theta_trT / 2.0)]
-        par_veh = self.lead_veh.set_parameters(current_time)
-        parameters[self].update(par_veh[self.lead_veh])
+        # the lead's parameters (pos0/posT/...) are registered under the
+        # LEAD's label in the layout -- key them by the lead object, not
+        # merged into the trailer's dict (that silently leaves them at
+        # their defaults and makes the degenerate T = 0 solution feasible)
+        parameters.update(self.lead_veh.set_parameters(current_time))
         return parameters
 
     def define_collision_constraints(self, hyperplanes, room, splines,

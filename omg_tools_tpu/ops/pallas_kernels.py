@@ -256,7 +256,7 @@ def _psd_solve_multi_vmap_rule(axis_size, in_batched, D, G):
     B, k = D.shape[0], D.shape[1]
     Df = D.reshape((B * k,) + D.shape[2:])
     Gf = G.reshape((B * k,) + G.shape[2:])
-    if _is_tpu_backend():
+    if _is_tpu_backend() and _fits_vmem(D.shape[-1], G.shape[-1]):
         Xf = batched_psd_solve_multi(Df, Gf, interpret=False)
     else:
         Xf = jax.vmap(lambda Di, Gi: jax.scipy.linalg.cho_solve(
@@ -271,6 +271,16 @@ def _is_tpu_backend():
         return plat in ("tpu", "axon") or "TPU" in str(dev.device_kind)
     except Exception:
         return False
+
+
+def _fits_vmem(n, r=1):
+    """The lane-batched kernel keeps (n, n, 128) + (n, r, 128) f32 VMEM
+    scratch; beyond ~12 MB (v5e scoped-vmem limit 16 MB minus in/out
+    buffers) XLA's batched Cholesky takes over (larger matrices amortize
+    its blocking well anyway)."""
+    n_pad = -(-n // 8) * 8
+    r_pad = -(-r // 8) * 8
+    return 4 * _LANES * (n_pad * n_pad + 2 * n_pad * r_pad) < 12 * 2 ** 20
 
 
 def batched_psd_solve(H, g, interpret=None):
@@ -330,7 +340,7 @@ def _psd_solve_vmap_rule(axis_size, in_batched, H, g):
         H = jnp.broadcast_to(H, (axis_size,) + H.shape)
     if not g_b:
         g = jnp.broadcast_to(g, (axis_size,) + g.shape)
-    if _is_tpu_backend() and H.ndim == 3:
+    if _is_tpu_backend() and H.ndim == 3 and _fits_vmem(H.shape[-1]):
         out = batched_psd_solve(H, g, interpret=False)
     else:
         out = jax.vmap(lambda Hi, gi: jax.scipy.linalg.cho_solve(

@@ -111,14 +111,30 @@ class BatchedP2PRunner:
 
         self.i_t, _ = idx(problem, "t")
         self.obstacle_idx = []
+        # spline-trajectory obstacles (reference obstacle.py:112-117):
+        # per-control-period propagation = re-expressing the trajectory
+        # spline one period later -- a constant precomputed shift matrix
+        # applied to the coefficient parameters (pure matmul on-device)
+        self.traj_obstacle_idx = []
         for obstacle in problem.environment.obstacles:
+            if obstacle.options.get("spline_traj", False):
+                ic, cshape = idx(obstacle, "traj_coeffs")
+                from ..ops.basis import Basis
+                sp = obstacle.options["spline_params"]
+                traj_basis = Basis(np.asarray(sp["knots"], dtype=np.float64),
+                                   sp["degree"])
+                M_obs = jnp.asarray(
+                    traj_basis.shift_spline_T(
+                        self.update_time / self.horizon), dtype=dtype)
+                self.traj_obstacle_idx.append((ic, cshape, M_obs))
+                continue
             try:
                 ix, _ = idx(obstacle, "x")
                 iv, _ = idx(obstacle, "v")
                 ia, _ = idx(obstacle, "a")
                 self.obstacle_idx.append((ix, iv, ia))
             except KeyError:
-                pass  # spline-trajectory obstacles move via their coeffs
+                pass
 
         sl, shape = tr.var_slice(vehicle, "splines_seg0")
         self.i_splines = np.arange(sl.start, sl.stop)
@@ -207,6 +223,8 @@ class BatchedP2PRunner:
         varying = list(self.model.varying_params())
         for (ix, iv, ia) in self.obstacle_idx:
             varying.extend([ix, iv, ia])
+        for (ic, _, _) in self.traj_obstacle_idx:
+            varying.append(ic)
         return np.unique(np.concatenate(varying))
 
     def _build_affine_cA(self):
@@ -463,6 +481,7 @@ class BatchedP2PRunner:
         model = self.model
         obstacle_idx = [(jnp.asarray(ix), jnp.asarray(iv), jnp.asarray(ia))
                         for (ix, iv, ia) in self.obstacle_idx]
+        traj_obstacle_idx = self.traj_obstacle_idx
         n_coef, n_spl = self.spline_shape
         horizon = self.horizon
         cA_at = self._cA_at
@@ -528,6 +547,11 @@ class BatchedP2PRunner:
                 pos, vel, acc = p[ix], p[iv], p[ia]
                 p = p.at[ix].set(pos + vel * dt + 0.5 * acc * dt * dt)
                 p = p.at[iv].set(vel + acc * dt)
+            # spline-trajectory obstacles: advance by one period (matmul
+            # with the precomputed re-basing transform)
+            for (ic, cshape, M_obs) in traj_obstacle_idx:
+                cfs_o = p[jnp.asarray(ic)].reshape(cshape)
+                p = p.at[jnp.asarray(ic)].set((M_obs @ cfs_o).reshape(-1))
             return (st, p, state_n), state_n
 
         if budgets is not None:

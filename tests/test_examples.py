@@ -25,7 +25,21 @@ ALL_EXAMPLES = sorted(
     f for f in os.listdir(EXAMPLES_DIR)
     if f.endswith(".py") and not f.startswith("_"))
 
-DEFAULT_SUBSET = ["p2p_holonomic.py", "p2p_holonomic_blocking.py"]
+# every vehicle family + the distributed and scheduler paths run
+# end-to-end (smoke mode) by default, not just under OMG_RUN_EXAMPLES
+DEFAULT_SUBSET = [
+    "p2p_holonomic.py",            # Holonomic
+    "p2p_holonomic_blocking.py",   # fault injection (hard_stop/overrule)
+    "p2p_holonomic_orient.py",     # HolonomicOrient
+    "p2p_dubins.py",               # Dubins (tan-half-angle)
+    "p2p_bicycle.py",              # Bicycle
+    "p2p_agv.py",                  # AGV (rear steer)
+    "p2p_trailer.py",              # Trailer + Dubins lead
+    "p2p_quadrotor.py",            # planar Quadrotor
+    "p2p_3dquadrotor.py",          # SimpleQuadrotor3D
+    "formation_holonomic.py",      # fleet ADMM consensus
+    "gcode_example.py",            # Tool + GCode pipeline
+]
 
 if os.environ.get("OMG_RUN_EXAMPLES"):
     node_total = int(os.environ.get("NODE_TOTAL", 1))

@@ -128,3 +128,38 @@ def test_scheduler_two_frames_corridor():
     assert problem.cnt_problem_builds < 3, (
         f"{problem.cnt_problem_builds} problem builds -- compiled reuse "
         "regressed")
+
+
+def test_scheduler_moving_obstacle_membership():
+    """A moving obstacle crossing into the active frame forces a frame
+    rebuild mid-run (reference schedulerproblem.py:138-209 membership
+    re-check), and the local problem keeps solving feasibly after it."""
+    vehicle = Holonomic(shapes=Circle(0.1),
+                        bounds={"vmax": 1.0, "amax": 2.0})
+    vehicle.set_initial_conditions([-4.0, -4.0])
+    vehicle.set_terminal_conditions([4.0, 4.0])
+    env = Environment(room={"shape": Square(10.0)})
+    # crosses the vehicle's corridor from the side at 0.5 m/s
+    env.add_obstacle(Obstacle({"position": [-1.0, -4.0],
+                               "velocity": [-0.35, 0.35]},
+                              shape=Circle(0.4)))
+    problem = SchedulerProblem(vehicle, env, frame_size=4.0, n_frames=2,
+                               n_cells=[20, 20])
+    problem.set_options({"verbose": 0})
+    problem.init()
+    sim = Simulator(problem)
+    problem.initialize(0.0)
+    switches0 = problem.cnt_frame_switches
+    feas_ok = True
+    for _ in range(40):
+        if sim.update():
+            break
+        feas_ok &= problem.solver_stats.get("feas", 1.0) < 5e-2
+    # the moving obstacle entered/left a frame -> at least one rebuild
+    # beyond the initial construction
+    assert problem.cnt_frame_switches > switches0
+    assert feas_ok
+    # still progressing toward the goal
+    d = np.linalg.norm(vehicle.signals["state"][:2, -1]
+                       - np.array([4.0, 4.0]))
+    assert d < np.linalg.norm(np.array([-4.0, -4.0]) - np.array([4.0, 4.0]))

@@ -138,6 +138,9 @@ def _reference_rollout(runner, x0, p0, n_steps, record_inputs=False):
             pos, vel, acc = p[ix].copy(), p[iv].copy(), p[ia].copy()
             p[ix] = pos + vel * dt + 0.5 * acc * dt * dt
             p[iv] = vel + acc * dt
+        for (ic, cshape, M_obs) in getattr(runner, "traj_obstacle_idx", []):
+            cfs_o = p[ic].reshape(cshape)
+            p[ic] = (np.asarray(M_obs, np.float64) @ cfs_o).reshape(-1)
     if record_inputs:
         return {"states": np.asarray(states), "inputs": np.asarray(inputs),
                 "feas": np.asarray(feas), "x_in": np.asarray(x_in),
