@@ -23,6 +23,9 @@ problem.init()
 
 update_time, sample_time = 0.1, 0.01
 deployer = Deployer(problem, sample_time, update_time)
+# live dashboards: per-axis state/input panels + scene, refreshed per
+# update (reference deployer.py:241-357); headless under Agg
+deployer.init_dashboard()
 n_samp = int(round(update_time / sample_time))
 
 via_points = [[2.0, -1.5], [2.0, 2.0], [-1.5, 2.0]]

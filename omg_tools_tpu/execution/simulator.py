@@ -46,6 +46,7 @@ class Deployer:
         self.problem.solve(current_time, update_time)
         self.problem.store(current_time, update_time, self.sample_time)
         self.current_time = current_time
+        self.update_dashboard(current_time)
         return {v: v.trajectories for v in self.problem.vehicles}
 
     def update_segment(self, current_time, states=None, max_retries=20,
@@ -72,6 +73,7 @@ class Deployer:
             feas = problem.solver_stats.get(
                 "feas", problem.solver_stats.get("kkt_err", 0.0))
             if feas <= feas_tol:
+                self.update_dashboard(current_time)
                 return result
             # rollback + perturb the prediction along the segment line
             for veh, (traj, pred) in zip(vehicles, snapshots):
@@ -84,6 +86,71 @@ class Deployer:
                                                     * direction[:n])
             problem.reinitialize()
         return None  # infeasible after all retries
+
+    # -- live dashboards (reference deployer.py:241-357) -------------------
+    def init_dashboard(self, show=False):
+        """Per-axis state/velocity/acceleration panels + a scene panel with
+        the room outlines and the current planned trajectory, refreshed on
+        every (segment) update.  Headless-capable: figures render on the
+        Agg canvas unless ``show``."""
+        import matplotlib
+        if not show:
+            matplotlib.use("Agg", force=False)
+        import matplotlib.pyplot as plt
+        self._dash_show = show
+        veh = self.problem.vehicles[0]
+        n_dim = getattr(veh, "n_dim", 2)
+        self._dash = {}
+        for name in ("state", "input", "dinput"):
+            fig, axes = plt.subplots(n_dim, 1, sharex=True, squeeze=False)
+            units = {"state": "m", "input": "m/s", "dinput": "m/s^2"}[name]
+            for k in range(n_dim):
+                axes[k, 0].plot([], [], zorder=0)
+                axes[k, 0].set_ylabel(f"{name}[{k}] [{units}]")
+            axes[-1, 0].set_xlabel("t [s]")
+            self._dash[name] = (fig, axes)
+        fig, ax = plt.subplots(1, 1)
+        ax.set_xlabel("x [m]")
+        ax.set_ylabel("y [m]")
+        ax.set_aspect("equal")
+        self._dash["scene"] = (fig, ax)
+        return self._dash
+
+    def update_dashboard(self, current_time=None):
+        """Refresh the dashboard panels from the stored trajectories."""
+        if not hasattr(self, "_dash"):
+            return
+        import matplotlib.pyplot as plt
+        veh = self.problem.vehicles[0]
+        traj = veh.trajectories
+        t = np.asarray(traj.get("time", np.zeros(0))).reshape(-1)
+        for name in ("state", "input", "dinput"):
+            if name not in traj or name not in self._dash:
+                continue
+            fig, axes = self._dash[name]
+            data = np.atleast_2d(traj[name])
+            n = min(t.size, data.shape[1]) or data.shape[1]
+            xs = t[:n] if t.size else np.arange(data.shape[1])
+            for k in range(min(data.shape[0], axes.shape[0])):
+                axes[k, 0].lines[0].set_data(xs, data[k, :len(xs)])
+                axes[k, 0].relim()
+                axes[k, 0].autoscale_view()
+        fig, ax = self._dash["scene"]
+        for ln in list(ax.lines):
+            ln.remove()
+        for room in self.problem.environment.room:
+            lims = room["shape"].get_canvas_limits()
+            x0, x1 = lims[0] + room["position"][0]
+            y0, y1 = lims[1] + room["position"][1]
+            ax.plot([x0, x1, x1, x0, x0], [y0, y0, y1, y1, y0],
+                    color="red", linestyle="--", linewidth=1.2, zorder=0)
+        if "state" in traj:
+            S = np.atleast_2d(traj["state"])
+            ax.plot(S[0], S[1], color="gray", linewidth=1.2)
+            ax.plot([S[0, -1]], [S[1, -1]], marker="o", color="tab:blue")
+        if self._dash_show:
+            plt.pause(0.01)
+        return self._dash
 
     def save_results(self, name="results", path="results/"):
         """CSV dump of every vehicle's simulated signals

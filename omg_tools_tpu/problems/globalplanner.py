@@ -16,7 +16,7 @@ import numpy as np
 from ..environment.shapes import Circle, Rectangle, Square
 from ..utils.geometry import circle_polyhedron_intersect, rectangles_overlap
 
-__all__ = ["GlobalPlanner", "AStarPlanner", "Grid"]
+__all__ = ["GlobalPlanner", "QuadmapPlanner", "AStarPlanner", "Grid"]
 
 
 class Grid:
@@ -103,7 +103,27 @@ class Grid:
         raise RuntimeError("no free cell found")
 
 
-class AStarPlanner:
+class GlobalPlanner:
+    """Planner interface (reference globalplanner.py:27-37)."""
+
+    def __init__(self, environment):
+        self.environment = environment
+
+    def get_path(self, curr_state, goal_state):
+        raise NotImplementedError
+
+
+class QuadmapPlanner(GlobalPlanner):
+    """Quadtree-map planner: declared-but-unimplemented in the reference
+    as well (reference globalplanner.py:39-46)."""
+
+    def __init__(self, environment):
+        GlobalPlanner.__init__(self, environment)
+        raise NotImplementedError("QuadmapPlanner is not implemented; "
+                                  "use AStarPlanner")
+
+
+class AStarPlanner(GlobalPlanner):
     """8-connected A* with diagonal blocking
     (reference globalplanner.py:147-227,319-352)."""
 
@@ -197,5 +217,3 @@ class AStarPlanner:
         out.append(path[-1])
         return out
 
-
-GlobalPlanner = AStarPlanner
