@@ -240,6 +240,19 @@ def main():
     from omg_tools_tpu.ops.alm import ALMOptions
     runner = BatchedP2PRunner(problem, dtype=jnp.float32,
                               alm_options=ALMOptions(inner_iter=INNER_ITER))
+    global RESCUE, BUDGETS, BATCH
+    if runner.structure == "generic":
+        # no quadratic/compact structure (e.g. Dubins: cubic tan-half-angle
+        # products): the rollout runs AD-per-iteration -- drop the budget
+        # variants (each extra solver variant is another axon AOT compile)
+        # and default to a smaller batch; the rescue re-solve stays (the
+        # nonconvex tan-half-angle landscape diverges lanes that only a
+        # fresh-guess re-solve recovers)
+        BUDGETS = ""
+        if "BENCH_RESCUE" not in os.environ:
+            RESCUE = 64
+        if "BENCH_BATCH" not in os.environ:
+            BATCH = min(BATCH, 1024)
 
     rng = np.random.default_rng(0)
     if CONFIG == "p2p_3dquadrotor":

@@ -214,9 +214,12 @@ class ShiftFrame(Frame):
 
 
 class CorridorFrame(Frame):
-    """Rectangle grown around the path start until an obstacle or the room
-    border blocks further growth (reference frame.py:520-918, simplified:
-    uniform axis growth, optional L-shape split)."""
+    """Corridor built with the reference's two-stage algorithm
+    (frame.py:520-918): (1) a BASE FRAME grown by including successive
+    global-path waypoints until a stationary obstacle would fall inside
+    (create_corridor_base_frame) -- so the corridor extends ALONG the
+    path, not just around the start; (2) per-side scale-up until the room
+    border or an obstacle blocks further growth (scale_up_frame)."""
 
     def __init__(self, environment, start, goal, global_path=None,
                  margin=0.2, step=0.1, options=None):
@@ -229,6 +232,41 @@ class CorridorFrame(Frame):
                   start[0] + margin, start[1] + margin]
         obstacles = [o for o in environment.obstacles
                      if o.options.get("avoid", True)]
+
+        def blocked(cand):
+            probe = Frame(environment, cand)
+            for obs in obstacles:
+                pos = obs.signals["position"][:2, -1]
+                if probe._shape_overlaps(obs.shape, pos):
+                    return True
+            return False
+
+        def include(cand_border, pt):
+            c = [min(cand_border[0], pt[0] - margin),
+                 min(cand_border[1], pt[1] - margin),
+                 max(cand_border[2], pt[0] + margin),
+                 max(cand_border[3], pt[1] + margin)]
+            return [max(c[0], xlim[0]), max(c[1], ylim[0]),
+                    min(c[2], xlim[1]), min(c[3], ylim[1])]
+
+        # stage 1 (reference create_corridor_base_frame): walk the path
+        # from the waypoint nearest the start, absorbing waypoints while
+        # the obstacle-free property holds; try the endpoint first
+        path = [np.asarray(p, dtype=np.float64) for p in (global_path or [])]
+        if path:
+            dists = [np.linalg.norm(p - start) for p in path]
+            path = path[int(np.argmin(dists)):]
+            cand = include(border, path[-1])
+            if not blocked(cand):
+                border = cand
+            else:
+                for pt in path:
+                    cand = include(border, pt)
+                    if blocked(cand):
+                        break
+                    border = cand
+
+        # stage 2 (reference scale_up_frame): per-side growth until blocked
         grow = [True, True, True, True]   # xmin, ymin, xmax, ymax
         for _ in range(int(max(xlim[1] - xlim[0], ylim[1] - ylim[0]) / step)
                        * 4):
@@ -243,14 +281,7 @@ class CorridorFrame(Frame):
                 if (k < 2 and cand[k] < limit) or (k >= 2 and cand[k] > limit):
                     grow[k] = False
                     continue
-                blocked = False
-                for obs in obstacles:
-                    pos = obs.signals["position"][:2, -1]
-                    probe = Frame(environment, cand)
-                    if probe._shape_overlaps(obs.shape, pos):
-                        blocked = True
-                        break
-                if blocked:
+                if blocked(cand):
                     grow[k] = False
                 else:
                     border = cand
