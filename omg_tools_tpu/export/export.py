@@ -99,8 +99,15 @@ class Export:
 
         from ..ops.alm import detect_quadratic_structure
         p_ref = np.asarray(problem.pack_parameters(0.0))
+        frozen = []
+        try:
+            slT, _ = tr.par_slice(problem, "T")
+            frozen = list(range(slT.start, slT.stop))
+        except KeyError:
+            pass
         Q = detect_quadratic_structure(tr.constraints, tr.n_x,
-                                       np.asarray(p_ref, dtype=np.float64))
+                                       np.asarray(p_ref, dtype=np.float64),
+                                       frozen_idx=frozen)
         # fold the row scaling into everything exported
         d = np.asarray(problem._row_scale, dtype=np.float64)
         obj_scale = float(problem._obj_scale)

@@ -112,7 +112,13 @@ class Trailer(Vehicle):
         ok = True
         if hasattr(self, "theta_trT"):
             ok = abs(self.signals["state"][2, -1] - self.theta_trT) <= tol
-        return ok and self.lead_veh.check_terminal_conditions()
+        # the lead vehicle is not simulated separately: its pose lives in
+        # rows 3:6 of the combined trailer state
+        lead_pose = self.signals["state"][3:6, -1]
+        lead_goal = np.asarray(self.lead_veh.poseT, dtype=np.float64)
+        n = min(2, lead_goal.shape[0])
+        return ok and bool(np.linalg.norm(lead_pose[:n] - lead_goal[:n])
+                           <= self.lead_veh.options.get("stop_tol", 5e-2))
 
     def set_parameters(self, current_time):
         pred_veh = {"input": self.prediction["input"],

@@ -79,11 +79,16 @@ class ALMState(NamedTuple):
 
 
 def detect_quadratic_structure(g, n_x, p_ref, x_probe=None, tol=1e-6,
-                               f=None):
-    """If g(x, p) = c(p) + A(p) x + x^T Q x with CONSTANT Q (true for all
-    fixed-horizon spline transcriptions: products of spline variables with
-    constant basis tensors), return Q as an (m, n, n) numpy tensor; else
-    None.  Validated against a direct evaluation at a random probe point."""
+                               f=None, frozen_idx=None):
+    """If g(x, p) = c(p) + A(p) x + x^T Q(p_frozen) x with Q constant over
+    the parameters that actually VARY at runtime, return Q as an (m, n, n)
+    numpy tensor; else None.  Validated against a direct evaluation at a
+    random probe point.
+
+    ``frozen_idx``: parameter indices that are structurally constant during
+    a rollout (e.g. the FixedT horizon 'T', which multiplies quadratic
+    terms like T*zz^2 in the quadrotor rate bounds) -- the probe does not
+    perturb them, so Q evaluated at their reference values validates."""
     import jax
 
     p_ref = jnp.asarray(p_ref)
@@ -93,8 +98,10 @@ def detect_quadratic_structure(g, n_x, p_ref, x_probe=None, tol=1e-6,
     rng = np.random.default_rng(0)
     x_probe = rng.standard_normal(n_x) if x_probe is None else x_probe
     x_probe = jnp.asarray(x_probe, dtype=p_ref.dtype)
-    p_probe = p_ref + jnp.asarray(rng.standard_normal(p_ref.shape[0]) * 0.1,
-                                  dtype=p_ref.dtype)
+    noise = rng.standard_normal(p_ref.shape[0]) * 0.1
+    if frozen_idx is not None and len(frozen_idx):
+        noise[np.asarray(frozen_idx)] = 0.0
+    p_probe = p_ref + jnp.asarray(noise, dtype=p_ref.dtype)
     c = g(zero, p_probe)
     A_x = jax.jvp(lambda x: g(x, p_probe), (zero,), (x_probe,))[1]
     pred = c + A_x + jnp.einsum("kij,i,j->k", jnp.asarray(Q), x_probe,

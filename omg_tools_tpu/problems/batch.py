@@ -77,11 +77,18 @@ class BatchedP2PRunner:
                     _cache.problem_fingerprint(tr, p_base)
                 self._cache_key = key
                 hit = _cache.load_tensors(key, "quadQ")
+                frozen = []
+                try:
+                    slT, _ = tr.par_slice(problem, "T")
+                    frozen = list(range(slT.start, slT.stop))
+                except KeyError:
+                    pass
                 if hit is not None:
                     Q = hit["Q"] if hit["has_Q"] else None
                 else:
                     Q = detect_quadratic_structure(tr.constraints, tr.n_x,
-                                                   p_ref, f=tr.objective)
+                                                   p_ref, f=tr.objective,
+                                                   frozen_idx=frozen)
                     _cache.store_tensors(
                         key, "quadQ",
                         {"has_Q": np.asarray(Q is not None),
