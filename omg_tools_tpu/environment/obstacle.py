@@ -199,9 +199,14 @@ class Obstacle(OptiChild):
         self._input_traj = None
         traj_in = simulation.get("trajectories", {}).get("input")
         if traj_in is not None:
+            vv = np.asarray(traj_in["values"], dtype=np.float64)
+            if vv.ndim == 1:
+                # flat series = scalar-input model (one value per sample
+                # time), normalized to (n_times, n_inputs) like the
+                # reference's vstack(...).T before interp1d
+                vv = vv[:, None]
             self._input_traj = (
-                np.asarray(traj_in["time"], dtype=np.float64),
-                np.asarray(traj_in["values"], dtype=np.float64))
+                np.asarray(traj_in["time"], dtype=np.float64), vv)
             if self.sim_B is None:
                 raise ValueError(
                     "input trajectory given but simulation model has no 'B'")
@@ -271,7 +276,7 @@ class Obstacle(OptiChild):
                     tt, vv = (self._input_traj if self._input_traj is not None
                               else (np.zeros(1), np.zeros((1, Gamma.shape[1]))))
                     k_in = int(np.searchsorted(tt, t, side="right") - 1)
-                    u = vv[max(k_in, 0)] if np.ndim(vv) > 1 else vv
+                    u = vv[max(k_in, 0)]   # ZOH: sample active at time t
                     x = x + Gamma @ np.atleast_1d(u)
                 n = self.n_dim
                 pos, vel, acc = x[:n].copy(), x[n:2 * n].copy(), \

@@ -40,7 +40,25 @@ class Deployer:
             self.problem.initialize(current_time)
             delay = 0
         else:
-            delay = 0
+            # hardware delay compensation (reference deployer.py:43-79):
+            # when the caller's clock advanced by more than update_time
+            # since the previous update (a slow solve on a real system),
+            # shift the predict window by the measured extra samples
+            delay = int(round(
+                (current_time - self.current_time - update_time)
+                / self.sample_time))
+            delay = max(delay, 0)
+            # if update_time + delay overruns the stored trajectory,
+            # leave out the delay (reference deployer.py:63-66)
+            veh = self.problem.vehicles[0]
+            traj_time = getattr(veh, "trajectories", {}).get("time")
+            if traj_time is not None and delay > 0:
+                n_left = int(np.round(
+                    (float(np.asarray(traj_time).ravel()[-1])
+                     - self.current_time) / self.sample_time, 6))
+                if delay + int(np.round(update_time / self.sample_time,
+                                        6)) > n_left:
+                    delay = 0
         self.problem.predict(current_time, update_time, self.sample_time,
                              states, delay, enforce_states, enforce_inputs)
         self.problem.solve(current_time, update_time)

@@ -297,15 +297,17 @@ class FleetRunner:
                 for g, Pg in zip(self._g, carry.Pp))
             carry = carry._replace(X=X, Z=Z, L=L, Pp=Pp)
 
-            def one(c, _):
-                c, res = self._iteration(c, phase, do_shift)
+            def one(c, i):
+                # lam warm state is dropped only on the FIRST iteration of
+                # a shift period (mirror of iterate_fn's reset_lam gating)
+                c, res = self._iteration(c, phase, do_shift & (i == 0))
                 return c, res
-            carry, res = jax.lax.scan(one, carry, None,
-                                      length=iters_per_update)
+            carry, res = jax.lax.scan(one, carry,
+                                      jnp.arange(iters_per_update))
             pri, dua = res[0][-1], res[1][-1]
             # ideal plant update: sample the solved splines one period
             # ahead, write state0/input0 back into the parameters
-            Pp, states = [], []
+            Pp, out_states = [], None
             for g, Xg, Pg in zip(self._g, carry.X, carry.Pp):
                 cfs = Xg[:, jnp.asarray(g["i_spl"])].reshape(
                     (Xg.shape[0],) + tuple(g["spl_shape"]))
@@ -313,10 +315,13 @@ class FleetRunner:
                     p, c, phase + 1, self.horizon))
                 Pg, st_g = upd(Pg, cfs)
                 Pp.append(Pg)
-                states.append(st_g)
+                # scatter into fleet order: group.indices need not be
+                # contiguous for heterogeneous fleets
+                if out_states is None:
+                    out_states = jnp.zeros((self.N, st_g.shape[-1]),
+                                           dtype=st_g.dtype)
+                out_states = out_states.at[jnp.asarray(g["rows"])].set(st_g)
             carry = carry._replace(Pp=tuple(Pp))
-            out_states = jnp.concatenate(states, axis=0) \
-                if len(states) > 1 else states[0]
             return carry, (pri, dua, out_states)
 
         def run(carry):
@@ -327,85 +332,24 @@ class FleetRunner:
         return run
 
     # -- mesh-sharded variant ----------------------------------------------
-    def mesh_iterate_fn(self, n_iter, phase=0):
-        """Mesh-sharded version of :meth:`iterate_fn`: vehicles sharded
-        over ``self.axis``; neighbor exchange via ppermute (ring) or a
-        gathered table (N not divisible), residuals via pmax/psum."""
+    def _mesh_setup(self):
+        """Common mesh-path geometry: device count, padded block size, and
+        the neighbor-pull helpers (ppermute ring for divisible N, gathered
+        table otherwise)."""
         if self.mesh is None:
             raise ValueError("construct the FleetRunner with a mesh")
+        if len(self._g) != 1:
+            raise NotImplementedError(
+                "mesh fleet path needs a homogeneous fleet")
         mesh, axis = self.mesh, self.axis
         n_dev = mesh.shape[axis]
         N = self.N
         blk = -(-N // n_dev)          # padded block size
         N_pad = blk * n_dev
         ring = (N == N_pad)
-        g = self._g[0]
-        spec_v = P(axis)
-
-        rho = self.rho
-        TfT = self.TfT[phase]
-        TfinvT = self.TfinvT[phase]
-        projT = self.projT[phase]
         perm_fwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
         perm_bwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
-        def local(X, Pp, Z, L, rel, mask):
-            # one device's block (blk rows); mask zeroes padded rows
-            def body(c, _):
-                X, Z, L = c
-                rows = X.shape[0]
-                Zrows = jnp.concatenate([Z, _pull_prev_rows(Z)], axis=1) \
-                    if self.circular else jnp.broadcast_to(
-                        Z.reshape(1, -1), (rows, self.n_sh))
-                Pl = Pp.at[:, jnp.asarray(g["i_z"])].set(
-                    Zrows.reshape(rows, -1))
-                Pl = Pl.at[:, jnp.asarray(g["i_l"])].set(
-                    L.reshape(rows, -1))
-                solve = jax.vmap(lambda x, p: g["solver"](
-                    x, p, g["lb"], g["ub"], outer_iter=self.outer_iter))
-                st = solve(X, Pl)
-                Xn = st.x
-                S = Xn[:, jnp.asarray(g["S_idx"])] + rel
-                S_t = S @ TfT
-                L_t = jnp.einsum("nks,st->nkt", L, TfT)
-                if self.circular:
-                    S_next = _pull_next(S_t)
-                    slot_prev = _pull_next_col(L_t[:, 1, :])
-                    avg = 0.5 * (S_t + L_t[:, 0, :] / rho
-                                 + S_next + slot_prev / rho)
-                    Zt_new = avg @ projT
-                    Z_new = Zt_new @ TfinvT
-                    Z_prev = _pull_prev(Z_new)
-                    L0 = L[:, 0, :] + rho * (S - Z_new)
-                    L1 = L[:, 1, :] + rho * (S - Z_prev)
-                    L_new = jnp.stack([L0, L1], axis=1)
-                    pr2 = jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2) \
-                        + jnp.sum(mask[:, None]
-                                  * (S_t - _pull_prev(Zt_new)) ** 2)
-                    Zt_prev = jnp.einsum("es,st->et", Z, TfT)
-                    dr2 = rho * jnp.sum(mask[:, None]
-                                        * (Zt_new - Zt_prev) ** 2)
-                else:
-                    # full graph: global average over ICI
-                    s_sum = jax.lax.psum(
-                        jnp.sum(mask[:, None] * (S_t + L_t[:, 0, :] / rho),
-                                axis=0), axis)
-                    avg = s_sum / N
-                    Zt_new = (avg @ projT).reshape(1, -1)
-                    Z_new = Zt_new @ TfinvT
-                    L_new = L + rho * (S - Z_new)[:, None, :]
-                    pr2 = jax.lax.psum(
-                        jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2), axis)
-                    Zt_prev = jnp.einsum("es,st->et", Z, TfT)
-                    dr2 = rho * jnp.sum((Zt_new - Zt_prev) ** 2)
-                if self.circular:
-                    pr2 = jax.lax.psum(pr2, axis)
-                    dr2 = jax.lax.psum(dr2, axis)
-                return (Xn, Z_new, L_new), (jnp.sqrt(pr2), jnp.sqrt(dr2))
-
-            return jax.lax.scan(body, (X, Z, L), None, length=n_iter)
-
-        # ring exchange helpers (divisible N) vs gathered-table fallback
         if ring:
             def _pull_next(Sb):
                 # S_{i+1}: in-block shift; boundary row from the next device
@@ -413,50 +357,94 @@ class FleetRunner:
                 from_next = jax.lax.ppermute(Sb[:1], axis, perm_fwd)
                 return shifted.at[-1:].set(from_next)
 
-            _pull_next_col = _pull_next
-
             def _pull_prev(Zb):
                 shifted = jnp.roll(Zb, 1, axis=0)
                 from_prev = jax.lax.ppermute(Zb[-1:], axis, perm_bwd)
                 return shifted.at[:1].set(from_prev)
-
-            def _pull_prev_rows(Zb):
-                # Z of edge i-1 for every local row i (second z slot)
-                return _pull_prev(Zb)
         else:
             # padded blocks: route neighbor lookup through an all_gather
             idx_next = jnp.asarray(
-                [( (i + 1) % N) for i in range(N)] + [0] * (N_pad - N))
+                [(i + 1) % N for i in range(N)] + [0] * (N_pad - N))
             idx_prev = jnp.asarray(
-                [( (i - 1) % N) for i in range(N)] + [0] * (N_pad - N))
+                [(i - 1) % N for i in range(N)] + [0] * (N_pad - N))
 
-            def _gather(Sb):
-                return jax.lax.all_gather(Sb, axis, tiled=True)
+            def _lookup(Sb, idx):
+                full = jax.lax.all_gather(Sb, axis, tiled=True)
+                me = jax.lax.axis_index(axis)
+                rows = me * blk + jnp.arange(blk)
+                return full[idx[rows]]
 
             def _pull_next(Sb):
-                full = _gather(Sb)
-                me = jax.lax.axis_index(axis)
-                rows = me * blk + jnp.arange(blk)
-                return full[idx_next[rows]]
-
-            _pull_next_col = _pull_next
+                return _lookup(Sb, idx_next)
 
             def _pull_prev(Zb):
-                full = _gather(Zb)
-                me = jax.lax.axis_index(axis)
-                rows = me * blk + jnp.arange(blk)
-                return full[idx_prev[rows]]
+                return _lookup(Zb, idx_prev)
 
-            _pull_prev_rows = _pull_prev
+        return dict(n_dev=n_dev, blk=blk, N_pad=N_pad, ring=ring,
+                    pull_next=_pull_next, pull_prev=_pull_prev)
 
-        # full-graph consensus has ONE shared z (replicated); circular has
-        # one edge per vehicle (sharded alongside it)
-        spec_z = spec_v if self.circular else P()
-        sharded = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
-            out_specs=((spec_v, spec_z, spec_v), (P(), P())))
+    def _mesh_consensus_iter(self, ms, g, rel, mask, X, Pp, Z, L, phase):
+        """ONE mesh-local ADMM iteration on a device's block: x-update,
+        ppermute/psum consensus, lambda update, residuals.  ``phase`` may
+        be a python int or a traced index (the transforms are gathered
+        from the stacked per-phase tensors)."""
+        axis = self.axis
+        rho = self.rho
+        _pull_next, _pull_prev = ms["pull_next"], ms["pull_prev"]
+        TfT = self.TfT[phase]
+        TfinvT = self.TfinvT[phase]
+        projT = self.projT[phase]
+        rows = X.shape[0]
+        Zrows = jnp.concatenate([Z, _pull_prev(Z)], axis=1) \
+            if self.circular else jnp.broadcast_to(
+                Z.reshape(1, -1), (rows, self.n_sh))
+        Pl = Pp.at[:, jnp.asarray(g["i_z"])].set(Zrows.reshape(rows, -1))
+        Pl = Pl.at[:, jnp.asarray(g["i_l"])].set(L.reshape(rows, -1))
+        solve = jax.vmap(lambda x, p: g["solver"](
+            x, p, g["lb"], g["ub"], outer_iter=self.outer_iter))
+        st = solve(X, Pl)
+        Xn = st.x
+        S = Xn[:, jnp.asarray(g["S_idx"])] + rel
+        S_t = S @ TfT
+        L_t = jnp.einsum("nks,st->nkt", L, TfT)
+        if self.circular:
+            S_next = _pull_next(S_t)
+            slot_prev = _pull_next(L_t[:, 1, :])
+            avg = 0.5 * (S_t + L_t[:, 0, :] / rho
+                         + S_next + slot_prev / rho)
+            Zt_new = avg @ projT
+            Z_new = Zt_new @ TfinvT
+            Z_prev = _pull_prev(Z_new)
+            L0 = L[:, 0, :] + rho * (S - Z_new)
+            L1 = L[:, 1, :] + rho * (S - Z_prev)
+            L_new = jnp.stack([L0, L1], axis=1)
+            pr2 = jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2) \
+                + jnp.sum(mask[:, None] * (S_t - _pull_prev(Zt_new)) ** 2)
+            Zt_prev = jnp.einsum("es,st->et", Z, TfT)
+            dr2 = rho * jnp.sum(mask[:, None] * (Zt_new - Zt_prev) ** 2)
+            pr2 = jax.lax.psum(pr2, axis)
+            dr2 = jax.lax.psum(dr2, axis)
+        else:
+            # full graph: global average over ICI
+            s_sum = jax.lax.psum(
+                jnp.sum(mask[:, None] * (S_t + L_t[:, 0, :] / rho),
+                        axis=0), axis)
+            avg = s_sum / self.N
+            Zt_new = (avg @ projT).reshape(1, -1)
+            Z_new = Zt_new @ TfinvT
+            L_new = L + rho * (S - Z_new)[:, None, :]
+            pr2 = jax.lax.psum(
+                jnp.sum(mask[:, None] * (S_t - Zt_new) ** 2), axis)
+            Zt_prev = jnp.einsum("es,st->et", Z, TfT)
+            dr2 = rho * jnp.sum((Zt_new - Zt_prev) ** 2)
+        return Xn, Z_new, L_new, jnp.sqrt(pr2), jnp.sqrt(dr2)
 
+    def _mesh_run_wrapper(self, sharded_fn, out_states=False):
+        """Pad fleet arrays to equal per-device blocks, place them on the
+        mesh, call the shard_mapped function, unpad the results."""
+        mesh, axis = self.mesh, self.axis
+        ms = self._mesh_setup()
+        N, N_pad = self.N, ms["N_pad"]
         g0 = self._g[0]
         rel_full = np.zeros((N_pad, self.n_sh))
         rel_full[:N] = g0["rel"]
@@ -483,6 +471,95 @@ class FleetRunner:
                     sh = NamedSharding(mesh,
                                        P(axis, *([None] * (a.ndim - 1))))
                 args[j] = jax.device_put(a, sh)
-            (Xn, Zn, Ln), res = sharded(*args)
+            (Xn, Zn, Ln), res = sharded_fn(*args)
+            if out_states:
+                pri, dua, states = res
+                res = (pri, dua, states[:N])   # (N, n_steps, n_dim)
             return (Xn[:N], Zn[:N] if self.circular else Zn, Ln[:N]), res
         return run
+
+    def mesh_iterate_fn(self, n_iter, phase=0):
+        """Mesh-sharded version of :meth:`iterate_fn`: vehicles sharded
+        over ``self.axis``; neighbor exchange via ppermute (ring) or a
+        gathered table (N not divisible), residuals via pmax/psum."""
+        ms = self._mesh_setup()
+        mesh, axis = self.mesh, self.axis
+        g = self._g[0]
+        spec_v = P(axis)
+
+        def local(X, Pp, Z, L, rel, mask):
+            # one device's block (blk rows); mask zeroes padded rows
+            def body(c, _):
+                X, Z, L = c
+                Xn, Z_new, L_new, pr, dr = self._mesh_consensus_iter(
+                    ms, g, rel, mask, X, Pp, Z, L, phase)
+                return (Xn, Z_new, L_new), (pr, dr)
+
+            return jax.lax.scan(body, (X, Z, L), None, length=n_iter)
+
+        # full-graph consensus has ONE shared z (replicated); circular has
+        # one edge per vehicle (sharded alongside it)
+        spec_z = spec_v if self.circular else P()
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
+            out_specs=((spec_v, spec_z, spec_v), (P(), P())))
+        return self._mesh_run_wrapper(sharded)
+
+    def mesh_rollout_fn(self, n_steps, iters_per_update=1):
+        """Mesh-sharded receding-horizon fleet rollout: the knot-passage
+        X/Z/L shifts, phase-indexed future-piece transforms and ideal
+        plant updates of :meth:`rollout_fn` all run INSIDE the shard_map
+        scan, so a multi-period fleet MPC (including knot passages) is one
+        jitted device program with ppermute/psum consensus over ICI
+        (reference admm.py:477-491 + dualmethod.py:209-224 semantics)."""
+        ms = self._mesh_setup()
+        mesh, axis = self.mesh, self.axis
+        g = self._g[0]
+        spec_v = P(axis)
+        spk = self.spk
+        dt = self.update_time
+
+        def local(X, Pp, Z, L, rel, mask):
+            def step(carry, k):
+                X, Pp, Z, L = carry
+                phase = k % spk
+                do_shift = (phase == 0) & (k > 0)
+                # knot-passage shift (block-local: shift matrices are
+                # replicated constants)
+                X = jnp.where(do_shift, X @ g["x_shiftT"], X)
+                Z = jnp.where(do_shift, Z @ self.sh_shiftT, Z)
+                L = jnp.where(do_shift,
+                              jnp.einsum("nks,st->nkt", L, self.sh_shiftT),
+                              L)
+                Pp_t = Pp.at[:, jnp.asarray(g["i_t"])].set(
+                    (phase * dt) * jnp.ones((Pp.shape[0], 1),
+                                            dtype=Pp.dtype))
+
+                def one(c, _):
+                    X, Z, L = c
+                    Xn, Z_new, L_new, pr, dr = self._mesh_consensus_iter(
+                        ms, g, rel, mask, X, Pp_t, Z, L, phase)
+                    return (Xn, Z_new, L_new), (pr, dr)
+                (X, Z, L), (prs, drs) = jax.lax.scan(
+                    one, (X, Z, L), None, length=iters_per_update)
+                # ideal plant update: sample the solved splines one period
+                # ahead, write state0/input0 back into the parameters
+                cfs = X[:, jnp.asarray(g["i_spl"])].reshape(
+                    (X.shape[0],) + tuple(g["spl_shape"]))
+                upd = jax.vmap(lambda p, c: g["model"].update(
+                    p, c, phase + 1, self.horizon))
+                Pp_n, states = upd(Pp_t, cfs)
+                return (X, Pp_n, Z, L), (prs[-1], drs[-1], states)
+
+            (X, Pp, Z, L), (pri, dua, states) = jax.lax.scan(
+                step, (X, Pp, Z, L), jnp.arange(n_steps))
+            return (X, Z, L), (pri, dua, jnp.moveaxis(states, 0, 1))
+
+        spec_z = spec_v if self.circular else P()
+        sharded = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
+            out_specs=((spec_v, spec_z, spec_v),
+                       (P(), P(), spec_v)))
+        return self._mesh_run_wrapper(sharded, out_states=True)

@@ -133,9 +133,18 @@ class DistributedProblem(Problem):
 
 class ADMMProblem(DistributedProblem):
 
+    # subclasses whose dual_update runs through the stock consensus path
+    # (formation centers) can ride the jitted device loop; DD/rendezvous/
+    # generic variants override dual_update and opt out
+    device_loop_capable = False
+
     def __init__(self, fleet, environment, options=None):
         options = dict(options or {})
         self.rho = options.pop("rho", 2.0)
+        # 'auto': jitted on-device consensus loop whenever the default
+        # backend is an accelerator (the host/numpy path stays for CPU
+        # debugging); True forces it on, False keeps the host loop
+        self.device_loop = options.pop("device_loop", "auto")
         self.init_iter = options.pop("init_iter", 5)
         self.max_iter_per_update = options.pop("max_iter_per_update", 1)
         # Nesterov/AMA options (reference admm.py:568-571)
@@ -265,7 +274,30 @@ class ADMMProblem(DistributedProblem):
         self._proj_cache: Dict = {}
         self._sh_shift = self._shared_shift()
 
-        # ADMM state (fleet-level)
+        self._reset_dual_state()
+        self.update_times = []
+        if self.device_loop is True:
+            self.enable_device_loop()
+        elif (self.device_loop == "auto" and self.device_loop_capable
+                and jax.default_backend() != "cpu"):
+            try:
+                self.enable_device_loop()
+            except NotImplementedError:
+                # no rollout recipe for this vehicle type: host loop
+                if self.options["verbose"] >= 1:
+                    print("[admm] device loop unavailable for this fleet; "
+                          "using the host consensus path")
+        if self.options["verbose"] >= 1:
+            sizes = ", ".join(
+                f"{len(g.indices)}x(n_x={g.template.transcription.n_x})"
+                for g in self.groups)
+            print(f"[admm] groups: {sizes} N={self.N} n_sh={self.n_sh} "
+                  f"graph={self.graph}")
+
+    def _reset_dual_state(self):
+        """(Re)set the fleet-level consensus state from the groups' current
+        primal iterates: z at neighborhood means, multipliers at zero,
+        fresh Nesterov/residual bookkeeping."""
         S0 = np.stack([self._s_of_vehicle(i) for i in range(self.N)])
         self.Z = np.zeros((self.n_edges, self.n_sh))
         for e in range(self.n_edges):
@@ -282,13 +314,26 @@ class ADMMProblem(DistributedProblem):
         self._Z_p = self.Z.copy()
         self._L_p = self.L.copy()
         self.iteration = 0
-        self.update_times = []
-        if self.options["verbose"] >= 1:
-            sizes = ", ".join(
-                f"{len(g.indices)}x(n_x={g.template.transcription.n_x})"
-                for g in self.groups)
-            print(f"[admm] groups: {sizes} N={self.N} n_sh={self.n_sh} "
-                  f"graph={self.graph}")
+
+    def reinitialize(self, father=None):
+        """Reset every updater's warm start to a fresh init guess for the
+        current conditions and clear the consensus state (the distributed
+        analog of Problem.reinitialize, reference
+        distributedproblem.py:188-241 fan-out + problem.py:165-181)."""
+        for group in self.groups:
+            tr = group.template.transcription
+            tr.relayout()
+            group.X = np.tile(tr.initial_guess()[None, :],
+                              (len(group.indices), 1))
+            for row, i in enumerate(group.indices):
+                init = self._init_guess_for(group, self.vehicles[i])
+                if init is not None:
+                    group.X[row] = init
+            group.alm_state = None
+        self._reset_dual_state()
+        if getattr(self, "_runner", None) is not None:
+            self._device_carry = None   # drop stale device warm state
+        self._device_reset = False
 
     def _init_guess_for(self, group, veh):
         try:

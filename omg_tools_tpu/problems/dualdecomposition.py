@@ -30,7 +30,19 @@ __all__ = ["DDProblem", "FormationPoint2pointDualDecomposition"]
 
 class _DDLocalP2P(FixedTPoint2point):
     """Local template: FixedT p2p + linear dual term on the shared
-    (fleet-center) coefficients."""
+    (fleet-center) coefficients, plus a proximal quadratic around the
+    previous iterate.
+
+    The proximal term is what makes plain dual (sub)gradient ascent usable
+    here: the p2p objective is nearly flat in the mid-horizon center
+    coefficients, so the dual function has enormous curvature and any
+    practical step size overshoots.  Anchoring each local solve at its
+    previous shared iterate bounds the primal movement per dual step
+    (proximal dual ascent); the reference gets the same stabilisation
+    implicitly by solving the combined x,z local problem
+    (ref dualdecomposition.py:58-147)."""
+
+    prox_w = 1.0  # set by DDProblem before construct()
 
     def __init__(self, fleet, environment, options):
         FixedTPoint2point.__init__(self, fleet, environment, options)
@@ -49,7 +61,9 @@ class _DDLocalP2P(FixedTPoint2point):
         self.n_sh = len(self.center_basis) * len(center)
         s = jnp.concatenate([c.coeffs for c in center])
         mu = self.define_parameter("dd_mu", self.n_sh)
-        self.define_objective(mu @ s)
+        prox = self.define_parameter("dd_prox", self.n_sh)
+        self.define_objective(
+            mu @ s + 0.5 * self.prox_w * jnp.sum((s - prox) ** 2))
 
 
 class DDProblem(ADMMProblem):
@@ -58,31 +72,43 @@ class DDProblem(ADMMProblem):
     def __init__(self, fleet, environment, options=None):
         options = dict(options or {})
         self.alpha = options.pop("alpha", 0.5)  # dual step size
+        # Proximal weight: dual-gradient Lipschitz constant is bounded by
+        # sigma_max(edge-difference)^2 / prox_w <= 4 / prox_w, so a constant
+        # step alpha is stable when alpha < prox_w / 2; 8*alpha gives 4x
+        # margin without over-damping the per-iteration primal progress.
+        self.prox_w = options.pop("prox", 8.0 * self.alpha)
         ADMMProblem.__init__(self, fleet, environment, options)
 
     def _make_template(self, vehicle):
         tmpl = _DDLocalP2P(vehicle, self.environment.copy(),
                            dict(self.options))
+        tmpl.prox_w = self.prox_w
         cfg = self.fleet.configuration[vehicle]
         tmpl.fleet_config_indices = sorted(cfg.keys())
         return tmpl
 
-    def init(self):
-        ADMMProblem.init(self)
-        # per-directed-edge multipliers lam[i, slot]; mu_i aggregates them
+    def _reset_dual_state(self):
+        ADMMProblem._reset_dual_state(self)
+        # per-directed-edge multipliers lam[i, slot]; mu_i aggregates them.
+        # Slot layout (circular graph): L[i, 0] = +lam_{edge i} (edge to the
+        # next vehicle), L[i, 1] = -lam_{edge i-1} (mirror copy of the edge
+        # to the previous vehicle), so each vehicle holds everything it needs
+        # locally and mu_i = L[i, 0] + L[i, 1] = lam_i - lam_{i-1}.
         self.L = np.zeros((self.N, self.n_slots, self.n_sh))
+        self.S_prev = np.stack([self._s_of_vehicle(i)
+                                for i in range(self.N)])
+        self._dd_iter = 0
 
     def _mu(self, i):
-        """mu_i = sum over incident edges of (lam_i,edge - lam_other,edge)."""
-        mu = np.zeros(self.n_sh)
+        """mu_i = d L / d s_i = sum over incident edges of +/- lam_edge.
+
+        Only vehicle i's own multiplier copies enter -- pairing own and
+        mirror copies (L[i,0] - L[nxt,1]) double-counts every lambda
+        because the mirror already carries the opposite sign.
+        """
         if self.N == 2:
-            other = 1 - i
-            mu += self.L[i, 0] - self.L[other, 0]
-            return mu
-        nxt, prv = (i + 1) % self.N, (i - 1) % self.N
-        mu += self.L[i, 0] - self.L[nxt, 1]   # edge i (with next)
-        mu += self.L[i, 1] - self.L[prv, 0]   # edge i-1 (with prev)
-        return mu
+            return self.L[i, 0].copy()
+        return self.L[i, 0] + self.L[i, 1]
 
     def _pack_params(self, group, current_time):
         tmpl = group.template
@@ -99,9 +125,23 @@ class DDProblem(ADMMProblem):
                 values[obs_t.label] = obs.set_parameters(current_time)[obs]
             ppars = tmpl.set_parameters(current_time)[tmpl]
             ppars["dd_mu"] = self._mu(i)
+            ppars["dd_prox"] = self.S_prev[i]
             values[tmpl.label] = ppars
             P[row] = tr.pack_parameters(values)
         return P
+
+    def init_step(self, current_time, update_time):
+        ADMMProblem.init_step(self, current_time, update_time)
+        # Re-anchor the proximal center at the (possibly knot-shifted)
+        # current solutions, once per control period.  The anchor is held
+        # FIXED across the dual iterations of one period: with a fixed
+        # anchor the local problems are strongly convex in s, the dual
+        # function has Lipschitz gradient <= 4/prox_w, and constant-step
+        # ascent converges monotonically; re-anchoring every iteration
+        # would turn this into an (undamped, oscillating) Arrow-Hurwicz
+        # primal-dual scheme.
+        self.S_prev = np.stack([self._s_of_vehicle(i)
+                                for i in range(self.N)])
 
     def dual_update(self, current_time):
         for group in self.groups:
@@ -115,16 +155,21 @@ class DDProblem(ADMMProblem):
             group.alm_state = jax.tree_util.tree_map(jnp.asarray, st)
             group.X = np.asarray(st.x, dtype=np.float64)
         S = np.stack([self._s_of_vehicle(i) for i in range(self.N)])
-        # dual subgradient step along each edge (communicate = roll)
+        # dual gradient step along each edge (communicate = roll).  A
+        # constant step is stable here because the proximal term in the
+        # local objective bounds the dual curvature (alpha < prox_w / 2);
+        # no diminishing schedule, so closed-loop coupling never vanishes.
+        self._dd_iter += 1
+        step = self.alpha
         if self.N == 2:
             diff = S[0] - S[1]
-            self.L[0, 0] += self.alpha * diff
-            self.L[1, 0] -= self.alpha * diff
+            self.L[0, 0] += step * diff
+            self.L[1, 0] -= step * diff
             pri = float(np.max(np.abs(diff)))
         else:
             diff_next = S - np.roll(S, -1, axis=0)   # s_i - s_{i+1} (edge i)
-            self.L[:, 0, :] += self.alpha * diff_next
-            self.L[:, 1, :] -= self.alpha * np.roll(diff_next, 1, axis=0)
+            self.L[:, 0, :] += step * diff_next
+            self.L[:, 1, :] -= step * np.roll(diff_next, 1, axis=0)
             pri = float(np.max(np.abs(diff_next)))
         self.residuals.append((pri, float("nan")))
         return pri, float("nan")

@@ -18,6 +18,12 @@ __all__ = ["FormationPoint2point"]
 
 class FormationPoint2point(ADMMProblem):
 
+    # stock consensus path: rides the jitted device loop by default on
+    # accelerator backends (options={'device_loop': False} restores the
+    # host/numpy loop; equality is gated by
+    # tests/test_fleet_runner.py::test_device_loop_matches_host_loop)
+    device_loop_capable = True
+
     def get_interaction_error(self):
         """Average deviation of each agent's perceived center from the true
         fleet center, integrated over the run (reference formation.py:74-106)."""

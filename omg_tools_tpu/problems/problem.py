@@ -229,14 +229,19 @@ class Problem(OptiChild, PlotLayer):
             st2 = self._jit_solve(jnp.asarray(self._x_result),
                                   jnp.asarray(parameters), lb, ub)
             st2 = jax.tree_util.tree_map(np.asarray, st2)
-            if hasattr(st, "feas") and float(st2.feas) < float(st.feas):
+            if hasattr(st, "feas"):
+                improved = float(st2.feas) < float(st.feas)
+            else:  # IPM state carries no feas; compare on KKT error
+                improved = float(st2.kkt_err) < float(st.kkt_err)
+            if improved:
                 st = st2
                 self._ip_state = st
                 self._x_result = np.array(st.x, dtype=np.float64)
                 self.solver_stats = {"kkt_err": float(st.kkt_err),
                                      "iterations": int(st.n_iter),
-                                     "time": _time.time() - t0,
-                                     "feas": float(st.feas)}
+                                     "time": _time.time() - t0}
+                if hasattr(st, "feas"):
+                    self.solver_stats["feas"] = float(st.feas)
         self.update_times.append(t_upd)
         self.iteration += 1
         if self.options["verbose"] >= 2:

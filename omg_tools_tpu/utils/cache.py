@@ -21,7 +21,9 @@ import numpy as np
 __all__ = ["problem_fingerprint", "load_tensors", "store_tensors",
            "cache_dir"]
 
-_VERSION = "1"  # bump to invalidate all cached artifacts
+_VERSION = "2"  # bump to invalidate all cached artifacts
+# v2: frozen-horizon quadQ detection changed (frozen_idx now finds Q for
+# FixedT quadrotor) -- stale has_Q=False entries must not survive.
 
 
 def cache_dir():

@@ -99,9 +99,51 @@ def test_dd_formation():
         fleet, env, options={"horizon_time": 10, "alpha": 0.3})
     problem.set_options({"verbose": 0})
     problem.init()
+
+    def tail_mismatch():
+        # consensus on the non-pinned (future) center coefficients: the
+        # head coefficients are hard initial-position equalities, so with
+        # asymmetric starts the full max-norm mismatch is bounded below by
+        # the initial spread and only the tail can (and must) converge
+        n_c = len(problem.groups[0].template.center_basis)
+        S = np.stack([problem._s_of_vehicle(i)
+                      for i in range(problem.N)])
+        d = S - np.roll(S, -1, axis=0)
+        return float(np.abs(d.reshape(problem.N, -1, n_c)[:, :, 4:]).max())
+
     problem.initialize(0.0)
+    m0 = tail_mismatch()
+    for _ in range(5):
+        problem.dual_update(0.0)
     pris = [p for p, _ in problem.residuals]
     assert pris[-1] < pris[0] + 1e-9   # non-increasing consensus mismatch
+    # proximal dual ascent genuinely converges on the future coefficients
+    assert tail_mismatch() < 0.5 * m0
+
+
+def test_dd_vs_admm_closedloop():
+    """DD tracks the ADMM solution on the same fleet (the reference's
+    compare_distributed_optimization_quadrotors.py cross-check pattern)."""
+    traj = {}
+    for mode in ("admm", "dd"):
+        fleet, vehicles = make_fleet()
+        env = Environment(room={"shape": Square(5.0)})
+        if mode == "admm":
+            problem = FormationPoint2point(
+                fleet, env, options={"horizon_time": 10, "rho": 1.0})
+        else:
+            problem = FormationPoint2pointDualDecomposition(
+                fleet, env, options={"horizon_time": 10, "alpha": 0.3})
+        problem.set_options({"verbose": 0})
+        problem.init()
+        sim = Simulator(problem)
+        for _ in range(6):
+            sim.update()
+        traj[mode] = np.stack([np.asarray(v.signals["state"][:2])
+                               for v in vehicles])
+    n = min(traj["admm"].shape[-1], traj["dd"].shape[-1])
+    dev = np.max(np.abs(traj["admm"][..., :n] - traj["dd"][..., :n]))
+    assert dev < 0.15, f"DD deviates {dev:.3f} m from the ADMM solution"
 
 
 def test_admm_full_graph_heterogeneous_to_goal():

@@ -163,3 +163,43 @@ def test_scheduler_moving_obstacle_membership():
     d = np.linalg.norm(vehicle.signals["state"][:2, -1]
                        - np.array([4.0, 4.0]))
     assert d < np.linalg.norm(np.array([-4.0, -4.0]) - np.array([4.0, 4.0]))
+
+
+def test_scheduler_maze_reaches_goal():
+    """The vast-environment maze (examples/gui_examples): a serpentine
+    wall maze traversed end-to-end by the corridor scheduler -- the goal
+    must actually be reached (the reference's hardest scheduler scenario,
+    ref examples/gui_examples/vast_environment_example_maze.py)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "examples", "gui_examples"))
+    from _environments import maze_gui
+
+    gui = maze_gui(scale=0.5)          # 15x15 maze, 5 walls
+    environment = gui.get_environment()
+    veh_size = 0.25
+    vehicle = Holonomic(shapes=Circle(radius=veh_size),
+                        options={"syslimit": "norm_2"},
+                        bounds={"vmax": 2.0, "vmin": -2.0,
+                                "amax": 8.0, "amin": -8.0})
+    clicked = gui.get_clicked_positions(margin=veh_size)
+    vehicle.set_initial_conditions(clicked[0])
+    vehicle.set_terminal_conditions(clicked[1])
+    problem = SchedulerProblem(vehicle, environment, frame_type="corridor",
+                               n_frames=2, n_cells=[30, 30])
+    problem.set_options({"verbose": 0})
+    problem.init()
+    sim = Simulator(problem)
+    reached = False
+    for _ in range(1200):
+        if sim.update():
+            reached = True
+            break
+    final = vehicle.signals["pose"][:2, -1]
+    goal = np.asarray(clicked[1])
+    assert reached or np.linalg.norm(final - goal) < 0.2, \
+        f"maze not solved: stopped at {final}, goal {goal}, " \
+        f"{problem.cnt_frame_switches} frame switches"
+    # the serpentine actually forced frame hopping
+    assert problem.cnt_frame_switches >= 3
