@@ -137,20 +137,37 @@ def bench_formation():
     env = Environment(room={"shape": Square(5.0)})
     env.add_obstacle(Obstacle({"position": [1.5, 0.5]}, shape=Circle(0.4)))
     problem = FormationPoint2point(
-        fleet, env, options={"horizon_time": 10, "verbose": 0})
+        fleet, env, options={"horizon_time": 10, "verbose": 0,
+                             "device_loop": False})
     problem.init()
 
-    runner = FleetRunner(problem, dtype=jnp.float32, outer_iter=OUTER_ITER)
+    # >1 device: vehicles sharded over a fleet mesh, consensus over
+    # ppermute/psum collectives; single chip: the fused vmapped path
+    n_dev = len(jax.devices())
+    mesh = None
+    if n_dev > 1:
+        from jax.sharding import Mesh
+        mesh = Mesh(np.array(jax.devices()[:min(n_dev, FLEET_N)]),
+                    ("fleet",))
+    runner = FleetRunner(problem, dtype=jnp.float32, outer_iter=OUTER_ITER,
+                         mesh=mesh)
     carry = runner.make_state(0.0)
-    it = jax.jit(runner.iterate_fn(ADMM_ITERS))
-    carry2, (pri, dua) = it(carry)
+    if mesh is None:
+        it = jax.jit(runner.iterate_fn(ADMM_ITERS))
+        run_it = lambda: it(carry)[1]
+    else:
+        X0 = jnp.concatenate(carry.X, axis=0)
+        P0 = jnp.concatenate(carry.Pp, axis=0)
+        mit = runner.mesh_iterate_fn(ADMM_ITERS)
+        run_it = lambda: mit(X0, P0, carry.Z, carry.L)[1]
+    pri, dua = run_it()
     jax.block_until_ready(pri)
     setup_s = time.time() - t_setup
 
     times = []
     for _ in range(3):
         t0 = time.time()
-        _, (pri, dua) = it(carry)
+        pri, dua = run_it()
         jax.block_until_ready(pri)
         times.append(time.time() - t0)
     run_s = float(np.median(times))
@@ -165,12 +182,17 @@ def bench_formation():
     consensus_rms_m = float(pri[-1] / np.sqrt(n_terms))
 
     # receding-horizon fleet rollout throughput (control periods/s)
-    roll = jax.jit(runner.rollout_fn(N_STEPS, iters_per_update=1))
-    carry3, out = roll(carry2)
-    jax.block_until_ready(out["pri"])
+    if mesh is None:
+        carry2, _ = jax.jit(runner.iterate_fn(ADMM_ITERS))(carry)
+        roll = jax.jit(runner.rollout_fn(N_STEPS, iters_per_update=1))
+        run_roll = lambda: roll(carry2)[1]["pri"]
+    else:
+        (Xw, Zw, Lw), _ = mit(X0, P0, carry.Z, carry.L)
+        mroll = runner.mesh_rollout_fn(N_STEPS, iters_per_update=1)
+        run_roll = lambda: mroll(Xw, P0, Zw, Lw)[1][0]
+    jax.block_until_ready(run_roll())
     t0 = time.time()
-    _, out = roll(carry2)
-    jax.block_until_ready(out["pri"])
+    jax.block_until_ready(run_roll())
     roll_s = time.time() - t0
 
     print(json.dumps({
@@ -186,6 +208,7 @@ def bench_formation():
         "consensus_rms_m": round(consensus_rms_m, 5),
         "consensus_ok": bool(consensus_rms_m < 0.02),
         "rollout_periods_per_s": round(N_STEPS / roll_s, 1),
+        "mesh_devices": 0 if mesh is None else int(mesh.shape["fleet"]),
         "setup_s": round(setup_s, 1),
     }))
 
@@ -328,26 +351,12 @@ def main():
     parity = {"parity_max_err": None, "parity_ok": False}
     if os.environ.get("BENCH_SKIP_PARITY", "0") != "1":
         parity_steps = min(N_STEPS, 20)
-        from omg_tools_tpu.utils import cache as _cache
-        import hashlib
         x0_np = np.asarray(x0[0], np.float64)
         p0_np = np.asarray(p0[0], np.float64)
-        h = hashlib.sha256()
-        h.update(x0_np.tobytes())
-        h.update(p0_np.tobytes())
-        h.update(np.asarray([parity_steps]).tobytes())
-        # v3: open-loop record (states + per-step solve inputs)
-        pkey = f"{runner._cache_key}_parity3_{h.hexdigest()[:12]}"
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from parity import _reference_rollout, openloop_parity
-        hit = _cache.load_tensors(pkey, "refroll")
-        if hit is not None:
-            ref = {k: np.asarray(v) for k, v in hit.items()}
-        else:
-            ref = _reference_rollout(runner, x0_np, p0_np, parity_steps,
-                                     record_inputs=True)
-            _cache.store_tensors(pkey, "refroll", ref)
+        from parity import cached_reference_rollout, openloop_parity
+        ref = cached_reference_rollout(runner, x0_np, p0_np, parity_steps)
         res = openloop_parity(runner, x0_np, p0_np, parity_steps,
                               outer_iter=OUTER_ITER,
                               budgets=_parse_budgets(BUDGETS), ref=ref)

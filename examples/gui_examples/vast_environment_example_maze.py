@@ -28,7 +28,7 @@ vehicle.set_initial_conditions(clicked[0])
 vehicle.set_terminal_conditions(clicked[1])
 
 problem = SchedulerProblem(vehicle, environment, frame_type="corridor",
-                           n_frames=2, n_cells=[60, 60])
+                           n_frames=2, n_cells=[60, 60], slot_quantum=4)
 problem.set_options({"verbose": 0})
 problem.init()
 run(problem, Simulator(problem), n_smoke_steps=2)

@@ -126,15 +126,25 @@ class Basis:
         return self._memoized("greville", compute)
 
     def _colloc_lu(self):
-        """LU factorization of the basis evaluated at its Greville points."""
+        """LU factorization of the basis evaluated at its Greville points,
+        or None when that collocation matrix is numerically singular (high
+        interior knot multiplicities from repeated spline products make
+        some Greville rows coincide/degenerate)."""
         def compute():
+            import warnings
             g = self.greville().copy()
             # nudge coincident greville points (can occur at knots of full
             # multiplicity) so the collocation matrix stays invertible
             for i in range(1, len(g)):
                 if g[i] <= g[i - 1]:
                     g[i] = np.nextafter(g[i - 1], np.inf)
-            return sla.lu_factor(self.eval(g)), g
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", sla.LinAlgWarning)
+                lu = sla.lu_factor(self.eval(g))
+            diag = np.abs(np.diag(lu[0]))
+            if diag.min() <= 1e-12 * max(diag.max(), 1.0):
+                return None, g   # singular pivot: collocation unusable
+            return lu, g
         return self._memoized("colloc_lu", compute)
 
     def solve_collocation(self, rhs_fn) -> np.ndarray:
@@ -147,11 +157,12 @@ class Basis:
         dense-grid least-squares fit is used instead (still exact for
         in-space functions)."""
         lu, g = self._colloc_lu()
-        with np.errstate(all="ignore"):
-            T = sla.lu_solve(lu, rhs_fn(g))
-        if np.all(np.isfinite(T)):
-            T[np.abs(T) < _EPS_ZERO] = 0.0
-            return T
+        if lu is not None:
+            with np.errstate(all="ignore"):
+                T = sla.lu_solve(lu, rhs_fn(g))
+            if np.all(np.isfinite(T)):
+                T[np.abs(T) < _EPS_ZERO] = 0.0
+                return T
         # fallback: oversampled least squares (avoid knots: open intervals)
         lo, hi = self.domain
         grid = []

@@ -50,7 +50,17 @@ def make_ref_solver(f: Callable, g: Callable, n_x: int,
     dev = host_device()
 
     def _jit(fn):
-        return jax.jit(fn, device=dev) if dev is not None else jax.jit(fn)
+        """Host-CPU jit forced to FLOAT64 regardless of the session's x64
+        flag.  The bench session runs f32; without this the 'reference'
+        SLSQP gets f32-evaluated objectives/Jacobians -- harmless for the
+        holonomic QP but catastrophically divergent on ill-conditioned
+        NLPs (Dubins tan-half-angle cubics exploded to 1e17)."""
+        jf = jax.jit(fn, device=dev) if dev is not None else jax.jit(fn)
+
+        def call(*args):
+            with jax.enable_x64():
+                return jf(*[np.asarray(a, dtype=np.float64) for a in args])
+        return call
 
     f_j = _jit(f)
     gradf_j = _jit(jax.grad(f))

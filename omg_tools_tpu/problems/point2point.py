@@ -131,30 +131,36 @@ class FixedTPoint2point(Point2pointProblem):
         self.define_terminal_constraints()
 
     def define_terminal_constraints(self):
-        objective = 0.0
+        """Soft-L1 terminal targets (the reference's formulation,
+        ref point2point.py:151-172): for each target spline s with goal y*,
+        a slack spline g bounds |s - y*| coefficient-wise and its integral
+        over the remaining horizon is the cost -- missing the goal is
+        penalized in L1 while the constraint set stays feasible from any
+        state.  Terminal derivative targets are pinned as hard equalities
+        at the horizon end."""
+        slack_cost = 0.0
         self.term_con_len = []
         self._term_g_bases = []
         for vehicle in self.vehicles:
-            term_con, term_con_der = vehicle.get_terminal_constraints(
+            targets, der_targets = vehicle.get_terminal_constraints(
                 vehicle.splines[0])
             if self.options["no_term_con_der"]:
-                term_con_der = []
-            self.term_con_len.append(len(term_con))
-            self._term_g_bases.append([c[0].basis for c in term_con])
-            for k, (spline, condition) in enumerate(term_con):
-                g = self.define_spline_variable(
-                    f"g{k}", 1, basis=spline.basis)[0]
-                objective = objective + definite_integral(g, self.t0, 1.0)
-                self.define_constraint(spline - condition - g, -BIG, 0.0)
-                self.define_constraint(-spline + condition - g, -BIG, 0.0)
+                der_targets = []
+            self.term_con_len.append(len(targets))
+            self._term_g_bases.append([s.basis for s, _ in targets])
+            for k, (s, goal) in enumerate(targets):
+                g = self.define_spline_variable(f"g{k}", 1, basis=s.basis)[0]
+                slack_cost = slack_cost + definite_integral(g, self.t0, 1.0)
+                # g >= |s - goal|, imposed on spline coefficients (convex
+                # hull property makes that sufficient pointwise)
+                self.define_constraint(s - goal - g, -BIG, 0.0)
+                self.define_constraint(goal - s - g, -BIG, 0.0)
                 if self.options["hard_term_con"]:
-                    self.define_constraint(spline(np.array(1.0)) - condition,
-                                           0.0, 0.0)
-            for spline, condition in term_con_der:
+                    self.define_constraint(s(np.array(1.0)) - goal, 0.0, 0.0)
+            for s, goal in der_targets:
                 self.define_constraint(
-                    evalspline(spline, np.asarray(1.0)) - condition,
-                    0.0, 0.0)
-        self.define_objective(objective)
+                    evalspline(s, np.asarray(1.0)) - goal, 0.0, 0.0)
+        self.define_objective(slack_cost)
 
     def set_parameters(self, current_time):
         parameters = {self: {}}
@@ -171,12 +177,17 @@ class FixedTPoint2point(Point2pointProblem):
         return float(self.init_time)
 
     # -- warm-start shift over knot passage -------------------------------
+    def _knot_index(self, t):
+        return int(np.round(t / self.knot_time, 6))
+
     def init_step(self, current_time, update_time):
         if not hasattr(self, "current_time_prev"):
             self.current_time_prev = 0.0
-        interval_prev = int(np.round(self.current_time_prev / self.knot_time, 6))
-        interval_now = int(np.round(current_time / self.knot_time, 6))
-        if interval_prev < interval_now:  # passed a knot
+        # entering a new knot interval: re-express the warm start in the
+        # one-knot-advanced basis so the previous solution seeds the new
+        # horizon (shiftoverknot transform, precomputed per basis)
+        if self._knot_index(current_time) \
+                > self._knot_index(self.current_time_prev):
             self.transform_primal_splines(self._primal_transform)
         self.current_time_prev = current_time
 

@@ -186,13 +186,18 @@ def test_scheduler_maze_reaches_goal():
     clicked = gui.get_clicked_positions(margin=veh_size)
     vehicle.set_initial_conditions(clicked[0])
     vehicle.set_terminal_conditions(clicked[1])
+    # slot_quantum pads obstacle slots to one shared signature, so the
+    # whole maze reuses a single compiled problem (first-compile of the
+    # multiframe NLP is ~4 min on this 2-CPU box; one is affordable,
+    # one per frame layout is not)
     problem = SchedulerProblem(vehicle, environment, frame_type="corridor",
-                               n_frames=2, n_cells=[30, 30])
+                               n_frames=2, n_cells=[30, 30],
+                               slot_quantum=4)
     problem.set_options({"verbose": 0})
     problem.init()
     sim = Simulator(problem)
     reached = False
-    for _ in range(1200):
+    for _ in range(800):
         if sim.update():
             reached = True
             break
