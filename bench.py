@@ -263,17 +263,25 @@ def main():
     from omg_tools_tpu.ops.alm import ALMOptions
     runner = BatchedP2PRunner(problem, dtype=jnp.float32,
                               alm_options=ALMOptions(inner_iter=INNER_ITER))
-    global RESCUE, BUDGETS, BATCH
+    global RESCUE, RESCUE_OUTER, BUDGETS, BATCH
     if runner.structure == "generic":
         # no quadratic/compact structure (e.g. Dubins: cubic tan-half-angle
-        # products): the rollout runs AD-per-iteration -- drop the budget
-        # variants (each extra solver variant is another axon AOT compile)
-        # and default to a smaller batch; the rescue re-solve stays (the
-        # nonconvex tan-half-angle landscape diverges lanes that only a
-        # fresh-guess re-solve recovers)
-        BUDGETS = ""
+        # products): the rollout runs AD-per-iteration and the nonconvex
+        # landscape needs DEEPER per-step budgets -- at the holonomic
+        # (2 outer x 5 inner) budget 27% of lanes diverge mid-rollout
+        # (reset lanes cannot re-converge in 10 Newton steps), while
+        # (4x10 knot-shift, 2x8 mid-knot) + a 256-lane rescue clears the
+        # whole 1024 batch to feas_raw_max < 1e-3 at ~3x the step cost
+        # (round-4 sweep: 388 solves/s, 0 diverged)
+        if "BENCH_BUDGETS" not in os.environ:
+            BUDGETS = "4x10,2x8"
+        if "BENCH_INNER" not in os.environ:
+            runner = BatchedP2PRunner(problem, dtype=jnp.float32,
+                                      alm_options=ALMOptions(inner_iter=8))
         if "BENCH_RESCUE" not in os.environ:
-            RESCUE = 64
+            RESCUE = 256
+        if "BENCH_RESCUE_OUTER" not in os.environ:
+            RESCUE_OUTER = 8
         if "BENCH_BATCH" not in os.environ:
             BATCH = min(BATCH, 1024)
 

@@ -157,7 +157,7 @@ def test_admm_full_graph_heterogeneous_to_goal():
     configuration = RegularPolyhedron(0.2, 3, np.pi / 4).vertices.T
     fleet.set_configuration(configuration.tolist())
     init_positions = np.array([0.0, 0.0]) + configuration
-    terminal_positions = np.array([1.5, 1.5]) + configuration
+    terminal_positions = np.array([1.0, 1.0]) + configuration
     init_conditions = [list(p) for p in init_positions]
     term_conditions = [list(p) for p in terminal_positions]
     init_conditions[2] = init_conditions[2] + [0.0]   # orientation
@@ -173,7 +173,7 @@ def test_admm_full_graph_heterogeneous_to_goal():
     assert problem.n_edges == 1          # full graph = global consensus
     sim = Simulator(problem)
     reached = False
-    for _ in range(80):
+    for _ in range(60):
         if sim.update():
             reached = True
             break
