@@ -56,6 +56,12 @@ RESCUE_OUTER = int(os.environ.get("BENCH_RESCUE_OUTER", "6"))
 # (the rollout analog of reinitialize-on-failure); the f32 divergence mode
 # is a bad warm-start basin, which extra iterations cannot leave
 RECOVER_TOL = float(os.environ.get("BENCH_RECOVER_TOL", "0.01"))
+# feasibility metric driving the divergence/rescue triggers: "raw" where
+# raw units are commensurate (holonomic), "scaled" where high-derivative
+# rows put the raw f32 noise floor above any sensible tolerance (the 3D
+# quadrotor's T^4 terminal rows float at raw ~0.14 -- raw triggers would
+# reset every lane every step)
+RECOVER_METRIC = os.environ.get("BENCH_RECOVER_METRIC", "")
 # phase-adaptive budgets "hardOxhardI,easyOxeasyI": the knot-passage step
 # gets the hard budget, the 9 mid-knot steps the easy one (batch.py
 # rollout_fn budgets); empty string disables
@@ -285,6 +291,19 @@ def main():
         if "BENCH_BATCH" not in os.environ:
             BATCH = min(BATCH, 1024)
 
+    global RECOVER_TOL
+    recover_metric = RECOVER_METRIC or (
+        "scaled" if CONFIG == "p2p_3dquadrotor" else "raw")
+    trigger_tols = {}
+    if recover_metric == "scaled":
+        # scaled-metric trigger levels (validated by the round-4 sweep:
+        # whole 4096-lane 3dq batch lands at scaled feas_max 5e-4 with the
+        # stock 3x8,1x7 budgets once the triggers stop misfiring on the
+        # raw f32 noise floor)
+        if "BENCH_RECOVER_TOL" not in os.environ:
+            RECOVER_TOL = 5e-3
+        trigger_tols = dict(rescue_tol=5e-4, streak_tol=1e-3)
+
     rng = np.random.default_rng(0)
     if CONFIG == "p2p_3dquadrotor":
         s0, g0 = [-1.5, -1.5, -1.5], [2.0, 2.0, 1.5]
@@ -305,7 +324,9 @@ def main():
                                      rescue_lanes=RESCUE,
                                      rescue_outer=RESCUE_OUTER,
                                      recover_tol=RECOVER_TOL,
-                                     budgets=_parse_budgets(BUDGETS)))
+                                     recover_metric=recover_metric,
+                                     budgets=_parse_budgets(BUDGETS),
+                                     **trigger_tols))
     carry, states = roll(st, p0, state, consts)   # compile + first run
     jax.block_until_ready(states)
     setup_s = time.time() - t_setup
@@ -329,7 +350,8 @@ def main():
             lowered = jax.jit(runner.rollout_fn(
                 N_STEPS, outer_iter=OUTER_ITER, rescue_lanes=RESCUE,
                 rescue_outer=RESCUE_OUTER, recover_tol=RECOVER_TOL,
-                budgets=_parse_budgets(BUDGETS))).lower(
+                recover_metric=recover_metric,
+                budgets=_parse_budgets(BUDGETS), **trigger_tols)).lower(
                     st, p0, state, consts)
             flops = compiled_flops(lowered.compile())
             if flops:
@@ -410,7 +432,10 @@ def main():
         "feas_raw_p50": float(np.median(feas_raw)),
         "feas_raw_p99": float(np.percentile(feas_raw, 99)),
         "feas_raw_max": float(np.max(feas_raw)),
-        "diverged_lanes": int(np.sum(feas_raw > 1e-2)),
+        "diverged_lanes": int(np.sum(
+            (feas > RECOVER_TOL) if recover_metric == "scaled"
+            else (feas_raw > 1e-2))),
+        "recover_metric": recover_metric,
         "n_iter_p50": float(np.median(np.asarray(carry[0].n_iter))),
         "n_iter_max": int(np.max(np.asarray(carry[0].n_iter))),
         "setup_s": round(setup_s, 1),

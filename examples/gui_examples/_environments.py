@@ -72,11 +72,12 @@ def example2_gui():
     return gui
 
 
-def maze_gui(scale=1.0):
-    """Serpentine maze: five alternating walls across a 30x30 hall.
+def maze_gui(scale=1.0, n_walls=5):
+    """Serpentine maze: ``n_walls`` alternating walls across a square hall
+    (30x30 at scale 1).
 
-    ``scale`` shrinks the whole maze (tests use scale<1 for shorter runs).
-    """
+    ``scale`` shrinks the whole maze (tests use scale<1 and fewer walls
+    for shorter runs)."""
     s = float(scale)
     gui = EnvironmentGUI(width=30.0 * s, height=30.0 * s,
                          position=[0.0, 0.0],
@@ -85,7 +86,7 @@ def maze_gui(scale=1.0):
     t = 0.6 * s           # wall thickness
     gap = 4.0 * s         # passage width at the open end
     wall_len = w - gap    # each wall leaves one gap
-    ys = np.linspace(-w / 2, w / 2, 7)[1:-1]    # 5 wall heights
+    ys = np.linspace(-w / 2, w / 2, n_walls + 2)[1:-1]   # wall heights
     for k, y in enumerate(ys):
         if k % 2 == 0:
             # open on the right: wall hugs the left side

@@ -406,9 +406,16 @@ class BatchedP2PRunner:
                 nearest = np.clip(pts, bbox_lo[:, None, :], bbox_hi[:, None, :])
                 d = pts - nearest
                 nrm = np.linalg.norm(d, axis=-1, keepdims=True)
-                # fallback perpendicular for on-path obstacles
-                perp = np.stack([-(goals - starts)[:, 1],
-                                 (goals - starts)[:, 0]], axis=-1)
+                # fallback perpendicular for on-path obstacles: any unit
+                # vector orthogonal to the travel direction (dimension-
+                # generic -- Gram-Schmidt of the least-aligned axis)
+                dirvec = goals - starts
+                dim = dirvec.shape[-1]
+                axis = np.eye(dim)[np.argmin(np.abs(dirvec), axis=-1)]
+                d2 = np.maximum(np.sum(dirvec * dirvec, axis=-1,
+                                       keepdims=True), 1e-12)
+                perp = axis - (np.sum(axis * dirvec, axis=-1,
+                                      keepdims=True) / d2) * dirvec
                 perp /= np.maximum(np.linalg.norm(perp, axis=-1,
                                                   keepdims=True), 1e-9)
                 d = np.where(nrm > 1e-9, d, perp[:, None, :])
@@ -446,7 +453,7 @@ class BatchedP2PRunner:
 
     def rollout_fn(self, n_steps, outer_iter=4, recover_tol=0.3,
                    rescue_lanes=0, rescue_outer=3, rescue_tol=1e-3,
-                   budgets=None, streak_tol=8e-3):
+                   budgets=None, streak_tol=8e-3, recover_metric="raw"):
         """Return a jittable function
         (alm_state, p, state, consts) -> (final carry, per-step states)
         advancing ``n_steps`` MPC periods on-device.  ``consts`` (from
@@ -476,7 +483,16 @@ class BatchedP2PRunner:
         state.  A ``lax.cond`` on the SCALAR step index picks the solver,
         so the mean per-step cost drops toward the easy budget while the
         hard step gets more effort than a uniform budget could afford.
-        Overrides ``outer_iter`` when given."""
+        Overrides ``outer_iter`` when given.
+
+        ``recover_metric``: which feasibility drives the recovery/rescue
+        triggers.  ``"raw"`` (unit-mixing inf-norm) suits problems whose
+        raw and scaled violations are commensurate (holonomic);
+        ``"scaled"`` (row-scaled, Ipopt convention) is REQUIRED for
+        problems with high-derivative rows whose raw f32 noise floor
+        exceeds any sensible tolerance (SimpleQuadrotor3D: T^4-scaled
+        terminal rows float at raw ~0.14, so raw-metric triggers would
+        reset every lane every step)."""
         spk = self.steps_per_knot
         dt = self.update_time
         solver = self.solver
@@ -493,6 +509,10 @@ class BatchedP2PRunner:
         horizon = self.horizon
         cA_at = self._cA_at
         default_consts = self.consts
+        if recover_metric == "scaled":
+            trigger_feas = lambda st: st.feas          # noqa: E731
+        else:
+            trigger_feas = lambda st: st.feas_raw      # noqa: E731
 
         def _solve_with(solver_fn, C, st_in, x_warm, p, phase, n_outer):
             if compact is not None:
@@ -519,7 +539,7 @@ class BatchedP2PRunner:
                 # soft one (feas_raw > streak_tol for 2 consecutive steps --
                 # the bad warm-start basin detected EARLY, before the lane
                 # fully diverges)
-                bad = (st.feas_raw > recover_tol) | (streak >= 2)
+                bad = (trigger_feas(st) > recover_tol) | (streak >= 2)
                 goal = p[i_poseT]
                 reset = model.reset_guess(state, goal, n_coef,
                                           x_warm.dtype).reshape(-1)
@@ -535,7 +555,7 @@ class BatchedP2PRunner:
                 st = _solve_with(solver_fn, C, st_in, x_warm, p, phase,
                                  n_outer)
                 streak = jnp.where(bad, jnp.zeros_like(streak), streak)
-                streak = jnp.where(st.feas_raw > streak_tol, streak + 1,
+                streak = jnp.where(trigger_feas(st) > streak_tol, streak + 1,
                                    jnp.zeros_like(streak))
                 return st, p, state, streak
             return solve_step
@@ -596,7 +616,7 @@ class BatchedP2PRunner:
                 # re-solve starts from a FRESH guess (the in-step analog of
                 # the next-step masked reset -- catches final-step
                 # divergences that have no next step)
-                diverged = st_r.feas_raw > recover_tol
+                diverged = trigger_feas(st_r) > recover_tol
                 goal = p_r[i_poseT]
                 reset = model.reset_guess(state_r, goal, n_coef,
                                           st_r.x.dtype).reshape(-1)
@@ -618,13 +638,13 @@ class BatchedP2PRunner:
                     # gather the worst lanes (clamped to the batch size),
                     # re-solve with extra outer rounds, keep whichever
                     # iterate is more feasible
-                    k_r = min(rescue_lanes, st.feas_raw.shape[0])
-                    _, idx = jax.lax.top_k(st.feas_raw, k_r)
+                    k_r = min(rescue_lanes, trigger_feas(st).shape[0])
+                    _, idx = jax.lax.top_k(trigger_feas(st), k_r)
                     st_r = jax.tree_util.tree_map(lambda a: a[idx], st)
                     phase = jnp.broadcast_to(k % spk, (k_r,))
                     st_r2 = rescue_solve(st_r, p[idx], phase, state[idx])
-                    take = (st_r.feas_raw > rescue_tol) & \
-                        (st_r2.feas_raw < st_r.feas_raw)
+                    take = (trigger_feas(st_r) > rescue_tol) & \
+                        (trigger_feas(st_r2) < trigger_feas(st_r))
 
                     def blend(a, b):
                         m = take.reshape((-1,) + (1,) * (a.ndim - 1)) \

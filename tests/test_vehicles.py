@@ -70,6 +70,7 @@ def test_dubins_freeT():
 
 def test_quadrotor():
     veh = Quadrotor(0.2)
+    veh.define_knots(knot_intervals=6)
     veh.set_initial_conditions([-2.0, -2.0])
     veh.set_terminal_conditions([2.0, 2.0])
     env = Environment(room={"shape": Square(5.0)})
@@ -84,6 +85,7 @@ def test_quadrotor():
 
 def test_holonomic3d():
     veh = Holonomic3D()
+    veh.define_knots(knot_intervals=6)
     veh.set_initial_conditions([-1.5, -1.5, -1.5])
     veh.set_terminal_conditions([1.5, 1.5, 1.5])
     env = Environment(room={"shape": Cube(5.0)})
