@@ -84,7 +84,7 @@ def maze_gui(scale=1.0, n_walls=5):
                          options={"cell_size": 0.5 * s}, display=False)
     w = 30.0 * s          # hall width
     t = 0.6 * s           # wall thickness
-    gap = 4.0 * s         # passage width at the open end
+    gap = 6.0 * s         # passage width at the open end
     wall_len = w - gap    # each wall leaves one gap
     ys = np.linspace(-w / 2, w / 2, n_walls + 2)[1:-1]   # wall heights
     for k, y in enumerate(ys):

@@ -300,18 +300,38 @@ def create_l_shape(environment, start, goal, global_path, margin=0.2,
     goal (the corridor hit a corner), a second corridor grows from the exit
     waypoint along the remaining path.  Returns [frame] or [frame1, frame2].
     """
+    path = [np.asarray(p, dtype=np.float64) for p in (global_path or [])]
+
+    def first_exit(frame):
+        # first waypoint OUTSIDE the frame marks the corner
+        for k, p in enumerate(path):
+            if not frame.point_in_frame(p):
+                return k
+        return None
+
     frame1 = CorridorFrame(environment, start, goal,
                            global_path=global_path, margin=margin, step=step)
     if frame1.point_in_frame(goal):
         return [frame1]
-    path = [np.asarray(p, dtype=np.float64) for p in (global_path or [])]
-    # first waypoint OUTSIDE frame1 marks the corner; the second corridor
-    # starts at the last inside waypoint so the frames overlap
-    exit_idx = None
-    for k, p in enumerate(path):
-        if not frame1.point_in_frame(p):
-            exit_idx = k
-            break
+    exit_idx = first_exit(frame1)
+    if exit_idx is not None and exit_idx <= 1 and len(path) > 1:
+        # Degenerate corridor: the frame contains no forward path.  This
+        # happens when the vehicle hugs an obstacle corner -- the start
+        # box (start +/- margin) touches the obstacle band, so absorbing
+        # the next waypoint is "blocked" and the scale-up then grows the
+        # corridor ORTHOGONAL to the route (e.g. back down through an
+        # already-traversed gap).  Rebuild the corridor from the next
+        # waypoint so it tracks the path; keep it only if the vehicle is
+        # inside (the local problem's initial state must be coverable).
+        cand = CorridorFrame(environment, path[1], goal,
+                             global_path=path[1:], margin=margin, step=step)
+        if cand.point_in_frame(start):
+            frame1 = cand
+            if frame1.point_in_frame(goal):
+                return [frame1]
+            exit_idx = first_exit(frame1)
+        elif frame1.overlap_with(cand) is not None:
+            return [frame1, cand]
     if exit_idx is None or exit_idx == 0:
         return [frame1]
     corner = path[exit_idx - 1]

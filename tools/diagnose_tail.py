@@ -31,8 +31,10 @@ def main():
     from parity import build_p2p_holonomic
     from omg_tools_tpu.problems.batch import BatchedP2PRunner
 
+    from omg_tools_tpu.ops.alm import ALMOptions
     problem = build_p2p_holonomic("alm")
-    runner = BatchedP2PRunner(problem, dtype=jnp.float32)
+    runner = BatchedP2PRunner(problem, dtype=jnp.float32,
+                              alm_options=ALMOptions(inner_iter=5))
     rng = np.random.default_rng(0)
     starts = np.tile([-1.5, -1.5], (BATCH, 1)) + rng.uniform(
         -0.2, 0.2, (BATCH, 2))
@@ -41,7 +43,10 @@ def main():
     x0, p0, state = runner.make_batch(starts, goals)
     consts = jax.device_put(runner.consts())
     st = jax.jit(runner.init_solver_state)(x0, p0, consts)
-    roll = jax.jit(runner.rollout_fn(N_STEPS, outer_iter=1))
+    # the bench's full rollout configuration (defaults mirrored)
+    roll = jax.jit(runner.rollout_fn(
+        N_STEPS, outer_iter=2, rescue_lanes=128, rescue_outer=6,
+        recover_tol=0.01, budgets=((3, 8), (1, 7))))
     (stf, pf, _), _ = roll(st, p0, state, consts)
     feas_raw = np.asarray(stf.feas_raw, np.float64)
     x_f = np.asarray(stf.x, np.float64)
