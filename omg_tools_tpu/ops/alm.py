@@ -127,7 +127,7 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                     row_scale: Optional[np.ndarray] = None,
                     obj_scale: float = 1.0,
                     quadratic_Q: Optional[np.ndarray] = None,
-                    compact=None):
+                    compact=None, fused_plan=None):
     """Build ``solve(x0, p, lb, ub, state0=None)`` minimizing f s.t.
     lb <= g <= ub.  All runtime arguments may be vmap-batched.
 
@@ -142,7 +142,15 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
     family-compacted: sparse row supports become small dense einsums with
     slice assembly -- ~25x fewer FLOPs than the dense quadratic form at
     bench sizes.  Row scaling is baked into the compact tensors; runtime
-    lb/ub are scaled and PERMUTED into the compact row order internally."""
+    lb/ub are scaled and PERMUTED into the compact row order internally.
+
+    ``fused_plan``: an :class:`ops.fused_alm.FusedPlan` (requires
+    ``compact`` with a detected arrow).  Callers pass phase-resolved SHARED
+    tensors as ``solve(..., fshared=FusedPlan.slice_phase(shared, phase))``
+    and the whole inner Newton loop runs as ONE Pallas kernel per outer
+    round on TPU backends (per-lane parameters resolved in-kernel; see
+    ops/fused_alm.py).  Non-TPU/f64 callers transparently fall back to the
+    XLA compact path."""
     lb0 = np.asarray(lb0, dtype=np.float64)
     ub0 = np.asarray(ub0, dtype=np.float64)
     m = lb0.shape[0]
@@ -437,14 +445,114 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         x_n = x + alpha * dx
         return x_n, jnp.max(jnp.abs(grad), initial=0.0)
 
+    # -- fused Pallas inner loop (ops/fused_alm.py) -------------------------
+    fused_inner = None
+    _fused_pcols = None
+    if fused_plan is not None:
+        import os as _os
+        from .fused_alm import make_fused_kernel
+        from .pallas_kernels import _is_tpu_backend
+        _fused_pcols = np.asarray(fused_plan.pcols)
+        _kern_cache = {}
+
+        def _get_kernel(interpret):
+            key = bool(interpret)
+            if key not in _kern_cache:
+                _kern_cache[key] = make_fused_kernel(
+                    fused_plan, opt, opt.inner_iter, interpret=key)
+            return _kern_cache[key]
+
+        def _fused_ct(shared, pv):
+            """Rebuild the resolve_phase-style per-scenario tensors from the
+            fused shared tables (XLA fallback path; matches
+            ops/compact.resolve_phase numerically)."""
+            ph = shared["ph"]
+            Af, Qf3 = [], []
+            for fp in fused_plan.fams:
+                A = ph["uA"][fp.iA]
+                if fp.iTA >= 0:
+                    pq = jnp.stack([pv[q] for q in fp.qpos])
+                    A = A + ph["uTA"][fp.iTA] @ pq
+                Af.append(A)
+                if fp.iQ >= 0:
+                    qf = shared["q"][fp.iQ]
+                    m_f = fp.row_stop - fp.row_start
+                    Qf3.append(qf.reshape(m_f, qf.shape[1], qf.shape[1]))
+                else:
+                    Qf3.append(None)
+            c = ph["c0"] + ph["C1"] @ pv
+            return {"c": c, "f0": ph["f0"], "gf": ph["gf"],
+                    "Af": tuple(Af), "Qf": tuple(Qf3)}
+
+        def _fused_unbatched(shared, x, lam, rho, pv, lb, ub):
+            evals = make_evals_compact(_fused_ct(shared, pv))
+
+            def ib(i, carry):
+                xx, _ = carry
+                return inner_step(evals, None, xx, lam, rho, lb, ub)
+
+            x_n, stat = jax.lax.fori_loop(
+                0, opt.inner_iter, ib,
+                (x, jnp.asarray(jnp.inf, dtype=x.dtype) + x[..., 0] * 0))
+            gv = evals["g"](x_n)
+            return x_n, gv, stat
+
+        @jax.custom_batching.custom_vmap
+        def fused_inner(shared, x, lam, rho, pv, lb, ub):
+            return _fused_unbatched(shared, x, lam, rho, pv, lb, ub)
+
+        @fused_inner.def_vmap
+        def _fused_vmap_rule(axis_size, in_batched, shared, x, lam, rho,
+                             pv, lb, ub):
+            sh_b = any(jax.tree_util.tree_leaves(in_batched[0]))
+            x_b, lam_b, rho_b, pv_b, lb_b, ub_b = in_batched[1:]
+            force_interp = _os.environ.get("OMG_FUSED_INTERPRET",
+                                           "0") == "1"
+            usable = ((not sh_b) and (not lb_b) and (not ub_b)
+                      and (x.dtype == jnp.float32 or force_interp)
+                      and (_is_tpu_backend() or force_interp))
+            B = axis_size
+
+            def bcast(v, batched):
+                return v if batched else jnp.broadcast_to(
+                    v, (B,) + jnp.shape(v))
+
+            x = bcast(x, x_b)
+            lam = bcast(lam, lam_b)
+            rho = bcast(rho, rho_b)
+            pv = bcast(pv, pv_b)
+            if not usable:
+                out = jax.vmap(
+                    lambda xx, ll, rr, pp: _fused_unbatched(
+                        shared, xx, ll, rr, pp, lb, ub))(x, lam, rho, pv)
+                return out, (True, True, True)
+            Bp = -(-B // 128) * 128
+
+            def pad(v):
+                if Bp == B:
+                    return v
+                return jnp.concatenate(
+                    [v, jnp.broadcast_to(v[-1:], (Bp - B,) + v.shape[1:])],
+                    axis=0)
+
+            kfn = _get_kernel(force_interp and not _is_tpu_backend())
+            x_nT, gvT, statT = kfn(shared, pad(x).T, pad(lam).T,
+                                   pad(rho).reshape(Bp, 1).T, pad(pv).T,
+                                   lb, ub)
+            return (x_nT.T[:B], gvT.T[:B], statT.reshape(-1)[:B]), \
+                (True, True, True)
+
     def solve(x0, p, lb, ub, state0: Optional[ALMState] = None,
-              outer_iter: Optional[int] = None, cA=None, Q=None, ct=None):
+              outer_iter: Optional[int] = None, cA=None, Q=None, ct=None,
+              fshared=None):
         # TPU: full-f32 matmuls (the default bf16-multiply path destroys
         # Jacobian/Cholesky accuracy for these ill-conditioned systems)
         with jax.default_matmul_precision("highest"):
-            return _solve(x0, p, lb, ub, state0, outer_iter, cA, Q, ct)
+            return _solve(x0, p, lb, ub, state0, outer_iter, cA, Q, ct,
+                          fshared)
 
-    def _solve(x0, p, lb, ub, state0, outer_iter, cA=None, Q=None, ct=None):
+    def _solve(x0, p, lb, ub, state0, outer_iter, cA=None, Q=None, ct=None,
+               fshared=None):
         lb, ub = _scale_rt(jnp.asarray(lb), jnp.asarray(ub))
         x0 = jnp.asarray(x0)
         dtype = x0.dtype
@@ -469,7 +577,11 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
                                     feas_raw=inf0)
 
         n_outer = opt.outer_iter if outer_iter is None else outer_iter
-        if ct is not None:
+        use_fused = fshared is not None and fused_inner is not None
+        if use_fused:
+            evals = None
+            pv = p[jnp.asarray(_fused_pcols)]
+        elif ct is not None:
             evals = make_evals_compact(ct)
         else:
             evals = make_evals(jnp.asarray(p), dtype, cA=cA, Q=Q)
@@ -481,16 +593,21 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
         feas_tol = jnp.maximum(opt.feas_tol, 1000.0 * jnp.finfo(dtype).eps)
 
         def outer_body(st):
-            def inner_body(_, carry):
-                x, stat = carry
-                x_n, gnorm = inner_step(evals, p, x, st.lam, st.rho, lb, ub)
-                return (x_n, gnorm)
+            if use_fused:
+                x_n, gv, stat = fused_inner(fshared, st.x, st.lam, st.rho,
+                                            pv, lb, ub)
+            else:
+                def inner_body(_, carry):
+                    x, stat_ = carry
+                    x_n_, gnorm = inner_step(evals, p, x, st.lam, st.rho,
+                                             lb, ub)
+                    return (x_n_, gnorm)
 
-            x_n, stat = jax.lax.fori_loop(
-                0, opt.inner_iter, inner_body,
-                (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)
-                 + st.x[..., 0] * 0))
-            gv = evals["g"](x_n)
+                x_n, stat = jax.lax.fori_loop(
+                    0, opt.inner_iter, inner_body,
+                    (st.x, jnp.asarray(jnp.inf, dtype=st.x.dtype)
+                     + st.x[..., 0] * 0))
+                gv = evals["g"](x_n)
             y_hat = multiplier_estimate(gv, st.lam, st.rho, lb, ub)
             viol_rows = jnp.maximum(lb - gv, 0.0) + jnp.maximum(gv - ub, 0.0)
             feas_n = jnp.max(viol_rows, initial=0.0)

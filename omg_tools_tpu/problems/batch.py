@@ -15,6 +15,7 @@ constant-acceleration motion, ideal plant update (the reference's
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -50,6 +51,7 @@ class CompactConsts(NamedTuple):
     lb: jax.Array
     ub: jax.Array
     M: jax.Array
+    FS: Optional[dict] = None   # FusedPlan.shared() tables (fused kernel)
 
 
 class BatchedP2PRunner:
@@ -187,6 +189,19 @@ class BatchedP2PRunner:
             if self.compact.arrow is not None:
                 self.structure = "compact-arrow"
 
+        # fused Pallas inner loop (ops/fused_alm.py): the whole inner
+        # Newton loop as one kernel per outer round; gated on the arrow
+        # structure and on fitting the 16 MB scoped-VMEM budget
+        self.fused_plan = None
+        if (self.compact is not None and self.compact.arrow is not None
+                and dtype == jnp.float32
+                and os.environ.get("OMG_DISABLE_FUSED", "0") != "1"):
+            from ..ops.fused_alm import FusedPlan
+            plan = FusedPlan(self.compact)
+            if plan.vmem_estimate() < 14 * 2 ** 20:
+                self.fused_plan = plan
+                self.structure = "compact-arrow-fused"
+
         self._alm_options = alm_options if alm_options is not None \
             else ALMOptions()
         self.solver = self.make_solver(self._alm_options)
@@ -207,13 +222,16 @@ class BatchedP2PRunner:
             row_scale=problem._row_scale,
             obj_scale=problem._obj_scale,
             quadratic_Q=None if self.compact is not None else self._Q_raw,
-            compact=self.compact)
+            compact=self.compact,
+            fused_plan=getattr(self, "fused_plan", None))
 
     def consts(self):
         """The rollout's large tensors, to be passed as jit ARGUMENTS."""
         if self.compact is not None:
+            FS = None if self.fused_plan is None else \
+                self.fused_plan.shared(self.dtype)
             return CompactConsts(self.compact.device_tensors(self.dtype),
-                                 self.lb, self.ub, self.shift_M)
+                                 self.lb, self.ub, self.shift_M, FS)
         if self.affine_cA:
             cA = (self.c0, self.C1, self.A0, self.TA, self.f0, self.gf)
         else:
@@ -438,7 +456,12 @@ class BatchedP2PRunner:
         """Batched cold solve producing the initial warm state.  Pass
         ``consts`` explicitly when jitting for a remote backend."""
         C = consts if consts is not None else self.consts()
-        if self.compact is not None:
+        if self.fused_plan is not None and getattr(C, "FS", None) is not None:
+            from ..ops.fused_alm import FusedPlan
+            fs0 = FusedPlan.slice_phase(C.FS, 0)
+            solve = jax.vmap(lambda x, p: self.solver(
+                x, p, C.lb, C.ub, fshared=fs0))
+        elif self.compact is not None:
             from ..ops.compact import resolve_phase
             struct = self.compact
             solve = jax.vmap(lambda x, p: self.solver(
@@ -514,7 +537,14 @@ class BatchedP2PRunner:
         else:
             trigger_feas = lambda st: st.feas_raw      # noqa: E731
 
+        fused_plan = self.fused_plan
+
         def _solve_with(solver_fn, C, st_in, x_warm, p, phase, n_outer):
+            if fused_plan is not None and getattr(C, "FS", None) is not None:
+                from ..ops.fused_alm import FusedPlan
+                fs = FusedPlan.slice_phase(C.FS, phase)
+                return solver_fn(x_warm, p, C.lb, C.ub, state0=st_in,
+                                 outer_iter=n_outer, fshared=fs)
             if compact is not None:
                 from ..ops.compact import resolve_phase
                 ct = resolve_phase(compact, C.CT, phase, p)
