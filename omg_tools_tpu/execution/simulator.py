@@ -35,27 +35,41 @@ class Deployer:
         current_time = float(current_time)
         if update_time is None:
             update_time = self.update_time
+        veh = self.problem.vehicles[0]
+        traj_time = None if self.iteration0 else \
+            getattr(veh, "trajectories", {}).get("time")
+        t_end = None if traj_time is None else \
+            float(np.asarray(traj_time).ravel()[-1])
+        if t_end is not None:
+            # reference deployer.py:47-55: when less than update_time of
+            # stored trajectory remains, shrink update_time to the
+            # remainder so predict/store never run past the horizon end
+            remaining = t_end - self.current_time
+            if remaining > 0 and round(update_time - remaining,
+                                       4) >= self.sample_time:
+                update_time = remaining
         if self.iteration0:
             self.iteration0 = False
             self.problem.initialize(current_time)
             delay = 0
         else:
             # hardware delay compensation (reference deployer.py:43-79):
-            # when the caller's clock advanced by more than update_time
+            # when the caller's clock drifted from the control period
             # since the previous update (a slow solve on a real system),
-            # shift the predict window by the measured extra samples
+            # shift the predict window by the measured extra samples --
+            # negative drift (early call) shifts backward, as in the
+            # reference, bounded so the window start stays in the stored
+            # trajectory
             delay = int(round(
                 (current_time - self.current_time - update_time)
                 / self.sample_time))
-            delay = max(delay, 0)
+            delay = max(delay, -int(np.round(update_time
+                                             / self.sample_time, 6)))
             # if update_time + delay overruns the stored trajectory,
             # leave out the delay (reference deployer.py:63-66)
-            veh = self.problem.vehicles[0]
-            traj_time = getattr(veh, "trajectories", {}).get("time")
-            if traj_time is not None and delay > 0:
+            if t_end is not None and delay != 0:
                 n_left = int(np.round(
-                    (float(np.asarray(traj_time).ravel()[-1])
-                     - self.current_time) / self.sample_time, 6))
+                    (t_end - self.current_time) / self.sample_time, 6))
                 if delay + int(np.round(update_time / self.sample_time,
                                         6)) > n_left:
                     delay = 0

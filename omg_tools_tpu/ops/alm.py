@@ -522,9 +522,13 @@ def make_alm_solver(f: Callable, g: Callable, n_x: int,
             rho = bcast(rho, rho_b)
             pv = bcast(pv, pv_b)
             if not usable:
-                out = jax.vmap(
-                    lambda xx, ll, rr, pp: _fused_unbatched(
-                        shared, xx, ll, rr, pp, lb, ub))(x, lam, rho, pv)
+                sh_axes = jax.tree_util.tree_map(
+                    lambda b: 0 if b else None, in_batched[0])
+                out = jax.vmap(_fused_unbatched,
+                               in_axes=(sh_axes, 0, 0, 0, 0,
+                                        0 if lb_b else None,
+                                        0 if ub_b else None))(
+                    shared, x, lam, rho, pv, lb, ub)
                 return out, (True, True, True)
             Bp = -(-B // 128) * 128
 

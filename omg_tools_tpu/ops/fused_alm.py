@@ -205,70 +205,80 @@ class FusedPlan:
 # -- in-kernel numerics (lane-last layout, masked lane-batched) -------------
 
 def _masked_chol(L_ref, n):
-    """In-place masked lane-batched Cholesky of L_ref (n, n, 128)
-    (ops/pallas_kernels.py scheme: the batch lives in the lane dim)."""
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def step(j, _):
-        diag = L_ref[pl.ds(j, 1), pl.ds(j, 1), :]
+    """In-place lane-batched Cholesky of L_ref (n, n, 128), statically
+    unrolled: each step's rank-1 update touches only the trailing
+    (n-j-1)^2 submatrix (the masked fori version updates the full matrix
+    every step -- 3x the flops; static slices make the mask unnecessary
+    and every access aligned to the actual triangle)."""
+    for j in range(n):
+        diag = L_ref[j:j + 1, j:j + 1, :]
         inv = jax.lax.rsqrt(diag[0])
-        col = L_ref[:, pl.ds(j, 1), :][:, 0, :] * inv
-        col = jnp.where(row_iota >= j, col, 0.0)
-        L_ref[:, pl.ds(j, 1), :] = col[:, None, :]
-        strict = jnp.where(row_iota > j, col, 0.0)
-        L_ref[:, :, :] = L_ref[:, :, :] \
-            - strict[:, None, :] * strict[None, :, :]
-        return 0
-
-    jax.lax.fori_loop(0, n, step, 0)
+        col = L_ref[j:, j:j + 1, :][:, 0, :] * inv        # (n-j, 128)
+        L_ref[j:, j:j + 1, :] = col[:, None, :]
+        if j + 1 < n:
+            strict = col[1:]                              # (n-j-1, 128)
+            L_ref[j + 1:, j + 1:, :] = L_ref[j + 1:, j + 1:, :] \
+                - strict[:, None, :] * strict[None, :, :]
 
 
 def _fwd_subst_panel(L_ref, M_ref, n, r):
-    """In-place forward substitution  M <- L^-1 M  (M: (n, r, 128))."""
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def step(i, _):
-        row = L_ref[pl.ds(i, 1), :, :][0]                 # (n, 128)
-        mask = (row_iota < i).astype(row.dtype)
-        w = (row * mask)[:, None, :]                      # (n, 1, 128)
-        acc = jnp.sum(w * M_ref[:, :, :], axis=0, keepdims=True)
-        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]      # (1, 128)
-        M_ref[pl.ds(i, 1), :, :] = (M_ref[pl.ds(i, 1), :, :] - acc) \
-            / diag[None, :, :]
-        return 0
-
-    jax.lax.fori_loop(0, n, step, 0)
+    """In-place forward substitution  M <- L^-1 M  (M: (n, r, 128)),
+    statically unrolled over rows (triangular work, no masking)."""
+    for i in range(n):
+        diag = L_ref[i:i + 1, i:i + 1, :][0]              # (1, 128)
+        if i > 0:
+            row = L_ref[i:i + 1, :i, :][0]                # (i, 128)
+            acc = jnp.sum(row[:, None, :] * M_ref[:i, :, :], axis=0,
+                          keepdims=True)                  # (1, r, 128)
+            M_ref[i:i + 1, :, :] = (M_ref[i:i + 1, :, :] - acc) \
+                / diag[None, :, :]
+        else:
+            M_ref[i:i + 1, :, :] = M_ref[i:i + 1, :, :] / diag[None, :, :]
 
 
-def _fwd_subst_vec(L_ref, z, n):
-    """Solve L x = z for one RHS (z: (n, 128) value), returns x."""
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+def _fwd_subst_col(L_ref, P_ref, n, col):
+    """In-place forward substitution of ONE panel column:
+    P[:, col] <- L^-1 P[:, col]  (static col and rows -- Mosaic has no
+    dynamic_slice on values, and static triangular slices halve the
+    flops vs the masked full-row scheme)."""
+    for i in range(n):
+        diag = L_ref[i:i + 1, i:i + 1, :][0]
+        x_i = P_ref[i:i + 1, col:col + 1, :][:, 0, :]
+        if i > 0:
+            row = L_ref[i:i + 1, :i, :][0]                # (i, 128)
+            x = P_ref[:i, col:col + 1, :][:, 0, :]        # (i, 128)
+            acc = jnp.sum(row * x, axis=0, keepdims=True)
+            x_i = x_i - acc
+        P_ref[i:i + 1, col:col + 1, :] = (x_i / diag)[:, None, :]
 
-    def step(i, x):
-        row = L_ref[pl.ds(i, 1), :, :][0]
-        mask = (row_iota < i).astype(row.dtype)
-        acc = jnp.sum(row * x * mask, axis=0, keepdims=True)
-        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]
-        num = jax.lax.dynamic_slice_in_dim(z, i, 1, axis=0) - acc
-        return jax.lax.dynamic_update_slice_in_dim(x, num / diag, i, axis=0)
 
-    return jax.lax.fori_loop(0, n, step, jnp.zeros_like(z))
-
-
-def _bwd_subst_vec(L_ref, z, n):
-    """Solve L' x = z for one RHS (z: (n, 128) value), returns x."""
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-
-    def step(t, x):
+def _bwd_subst_col(L_ref, P_ref, n, col):
+    """In-place backward substitution of ONE panel column:
+    P[:, col] <- L'^-1 P[:, col] (statically unrolled)."""
+    for t in range(n):
         i = n - 1 - t
-        colT = L_ref[:, pl.ds(i, 1), :][:, 0, :]          # (n, 128)
-        mask = (row_iota > i).astype(colT.dtype)
-        acc = jnp.sum(colT * x * mask, axis=0, keepdims=True)
-        diag = L_ref[pl.ds(i, 1), pl.ds(i, 1), :][0]
-        num = jax.lax.dynamic_slice_in_dim(z, i, 1, axis=0) - acc
-        return jax.lax.dynamic_update_slice_in_dim(x, num / diag, i, axis=0)
+        diag = L_ref[i:i + 1, i:i + 1, :][0]
+        x_i = P_ref[i:i + 1, col:col + 1, :][:, 0, :]
+        if i + 1 < n:
+            colT = L_ref[i + 1:, i:i + 1, :][:, 0, :]     # (n-i-1, 128)
+            x = P_ref[i + 1:, col:col + 1, :][:, 0, :]
+            acc = jnp.sum(colT * x, axis=0, keepdims=True)
+            x_i = x_i - acc
+        P_ref[i:i + 1, col:col + 1, :] = (x_i / diag)[:, None, :]
 
-    return jax.lax.fori_loop(0, n, step, jnp.zeros_like(z))
+
+def _gram_rows(Y, n_rows):
+    """Row-wise Gram accumulation G[r, c, l] = sum_k Y[k, r, l] Y[k, c, l]
+    for the first ``n_rows`` columns r, as a static Python loop (Mosaic
+    has no dynamic value indexing; the per-row slice is static)."""
+    rows = [jnp.sum(Y[:, r:r + 1, :] * Y, axis=0) for r in range(n_rows)]
+    return jnp.stack(rows, axis=0)                       # (n_rows, r, 128)
+
+
+def _jtdj_rows(J, Jw, n_f):
+    """H[r, s, l] = sum_k Jw[k, r, l] J[k, s, l] via a static row loop."""
+    rows = [jnp.sum(Jw[:, r:r + 1, :] * J, axis=0) for r in range(n_f)]
+    return jnp.stack(rows, axis=0)                       # (n_f, n_f, 128)
 
 
 def _diag3(val, n):
@@ -301,7 +311,19 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
     n_v = plan.n_v
     h0, h = plan.head
     blocks = plan.blocks
-    k_blk = len(blocks)
+    # fold same-size tail blocks along the LANE dimension: one Cholesky /
+    # substitution sweep per size group processes all its blocks at once
+    # (k_g x 128 lanes wide), amortizing the sequential triangular steps
+    # that dominate the factor section
+    _sizes = {}
+    for _bi, (_s, _sz) in enumerate(blocks):
+        _sizes.setdefault(_sz, []).append(_bi)
+    groups = [(sz, tuple(bis)) for sz, bis in _sizes.items()]
+    blk_slot = {}
+    for _gi, (_sz, _bis) in enumerate(groups):
+        for _slot, _bi in enumerate(_bis):
+            blk_slot[_bi] = (_gi, _slot)
+    n_grp = len(groups)
     cands = tuple(float(a) for a in opt.ls_candidates)
     armijo = float(opt.armijo)
     max_step = float(opt.max_step)
@@ -327,14 +349,26 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
         x_ref, lam_ref, rho_ref, pv_ref = ins[n_shared:]
         cv = scr[0]
         S = scr[1]
-        D_refs = list(scr[2:2 + k_blk])
-        M_refs = list(scr[2 + k_blk:2 + 2 * k_blk])
-        grad_ref = scr[2 + 2 * k_blk]
+        D_refs = list(scr[2:2 + n_grp])            # per size group, wide
+        M_refs = list(scr[2 + n_grp:2 + 2 * n_grp])
+        grad_ref = scr[2 + 2 * n_grp]
+        Wh = scr[3 + 2 * n_grp]
         dt = x_ref.dtype
 
+        def dotf(a, b):
+            # f32 MXU passes pinned to HIGHEST: constraint Jacobians feed
+            # an ill-conditioned Cholesky; bf16 multiplies are too lossy
+            # (see ops/alm.py solve docstring)
+            return jnp.dot(a, b, preferred_element_type=dt,
+                           precision=jax.lax.Precision.HIGHEST)
+
+        def _wide(bi):
+            """(group ref index, lane offset) of block bi."""
+            gi, slot = blk_slot[bi]
+            return gi, slot * _LANES
+
         # resolved constraint constants c(p) = c0 + C1 pv (once per tile)
-        cv[:, :] = c0_ref[:, :] + jnp.dot(C1_ref[:, :], pv_ref[:, :],
-                                          preferred_element_type=dt)
+        cv[:, :] = c0_ref[:, :] + dotf(C1_ref[:, :], pv_ref[:, :])
         x_out[:, :] = x_ref[:, :]
         rho = rho_ref[0:1, :]                      # (1, 128)
         lam_over_rho = lam_ref[:, :] / rho         # (m, 128)
@@ -356,8 +390,7 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                 pq = jnp.concatenate(
                     [pv_ref[q:q + 1, :] for q in f.qpos], axis=0)
                 m_f, n_f, n_q = TA.shape
-                TAp = jnp.dot(TA.reshape(m_f * n_f, n_q), pq,
-                              preferred_element_type=dt)
+                TAp = dotf(TA.reshape(m_f * n_f, n_q), pq)
                 A = A + TAp.reshape(m_f, n_f, _LANES)
             return A
 
@@ -371,15 +404,14 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                 rows = cv[f.row_start:f.row_stop, :]
                 if f.kind == "const":
                     A2 = uA[f.iA][:, :]            # (m_f, n_f) shared
-                    gv_parts[fi] = rows + jnp.dot(
-                        A2, xf, preferred_element_type=dt)
+                    gv_parts[fi] = rows + dotf(A2, xf)
                 else:
                     A = fam_A(f)
                     if f.iQ >= 0:
                         Qf = uQ[f.iQ][:, :]
                         m_f = f.row_stop - f.row_start
                         n_f = xf.shape[0]
-                        t1 = jnp.dot(Qf, xf, preferred_element_type=dt)
+                        t1 = dotf(Qf, xf)
                         # g = c + A x + x'Qx = c + (A + t1) x
                         A = A + t1.reshape(m_f, n_f, _LANES)
                     gv_parts[fi] = rows + jnp.sum(A * xf[None, :, :], axis=1)
@@ -392,12 +424,15 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
             # -- pass 2: arrow-system assembly -----------------------------
             S[:, :, :] = jnp.zeros((h, h, _LANES), dt)
             r_h = jnp.broadcast_to(gfv[h0:h0 + h, :], (h, _LANES))
+            for gi, (sz, bis) in enumerate(groups):
+                W = len(bis) * _LANES
+                M_refs[gi][:, :, :] = jnp.zeros((sz, h + 2, W), dt)
+                D_refs[gi][:, :, :] = jnp.zeros((sz, sz, W), dt)
             for bi, (s, sz) in enumerate(blocks):
-                M_refs[bi][:, :, :] = jnp.concatenate(
-                    [jnp.zeros((sz, h, _LANES), dt),
-                     jnp.broadcast_to(gfv[s:s + sz, :],
-                                      (sz, _LANES))[:, None, :]], axis=1)
-                D_refs[bi][:, :, :] = jnp.zeros((sz, sz, _LANES), dt)
+                gi, off = _wide(bi)
+                M_refs[gi][:, h:h + 1, off:off + _LANES] = \
+                    jnp.broadcast_to(gfv[s:s + sz, :],
+                                     (sz, _LANES))[:, None, :]
 
             for fi, f in enumerate(fams):
                 y_f = y_hat[f.row_start:f.row_stop, :]      # (m_f, 128)
@@ -406,26 +441,21 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                 m_f = f.row_stop - f.row_start
                 if f.kind == "const":
                     A2 = uA[f.iA][:, :]
-                    g_f = jnp.dot(A2.T, y_f, preferred_element_type=dt)
-                    Hf = jnp.dot(uP[f.iP][:, :], d_f,
-                                 preferred_element_type=dt)
+                    g_f = dotf(A2.T, y_f)
+                    Hf = dotf(uP[f.iP][:, :], d_f)
                     H = Hf.reshape(n_f, n_f, _LANES)
                 else:
                     xf = gather(x_out[:, :], f.runs)
                     A = fam_A(f)
                     if f.iQ >= 0:
                         Qf = uQ[f.iQ][:, :]
-                        t1 = jnp.dot(Qf, xf, preferred_element_type=dt)
+                        t1 = dotf(Qf, xf)
                         J = A + 2.0 * t1.reshape(m_f, n_f, _LANES)
                     else:
                         J = jnp.broadcast_to(A, (m_f, n_f, _LANES))
                     g_f = jnp.sum(J * y_f[:, None, :], axis=0)
                     Jw = J * d_f[:, None, :]
-
-                    def haccum(k, acc):
-                        return acc + Jw[k][:, None, :] * J[k][None, :, :]
-                    H = jax.lax.fori_loop(
-                        0, m_f, haccum, jnp.zeros((n_f, n_f, _LANES), dt))
+                    H = _jtdj_rows(J, Jw, n_f)
 
                 for (oa, sa, ta, pa) in f.segs:
                     gseg = g_f[oa:oa + sa, :]
@@ -436,9 +466,10 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                         r_h = r_h + jnp.pad(gseg,
                                             ((pa, h - pa - sa), (0, 0)))
                     else:
-                        M_refs[ta][pa:pa + sa, h:h + 1, :] = \
-                            M_refs[ta][pa:pa + sa, h:h + 1, :] \
-                            + gseg[:, None, :]
+                        gi, off = _wide(ta)
+                        M_refs[gi][pa:pa + sa, h:h + 1, off:off + _LANES] = \
+                            M_refs[gi][pa:pa + sa, h:h + 1,
+                                       off:off + _LANES] + gseg[:, None, :]
                     for (ob, sb, tb, pb) in f.segs:
                         if ta >= 0 and tb < 0:
                             continue               # mirror of (head, block)
@@ -448,63 +479,86 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                                 + H[oa:oa + sa, ob:ob + sb, :]
                         elif ta < 0:
                             # C' accumulated pre-transposed (H symmetric)
-                            M_refs[tb][pb:pb + sb, pa:pa + sa, :] = \
-                                M_refs[tb][pb:pb + sb, pa:pa + sa, :] \
+                            gi, off = _wide(tb)
+                            M_refs[gi][pb:pb + sb, pa:pa + sa,
+                                       off:off + _LANES] = \
+                                M_refs[gi][pb:pb + sb, pa:pa + sa,
+                                           off:off + _LANES] \
                                 + H[ob:ob + sb, oa:oa + sa, :]
                         else:
-                            D_refs[ta][pa:pa + sa, pb:pb + sb, :] = \
-                                D_refs[ta][pa:pa + sa, pb:pb + sb, :] \
+                            gi, off = _wide(ta)
+                            D_refs[gi][pa:pa + sa, pb:pb + sb,
+                                       off:off + _LANES] = \
+                                D_refs[gi][pa:pa + sa, pb:pb + sb,
+                                           off:off + _LANES] \
                                 + H[oa:oa + sa, ob:ob + sb, :]
 
             # full gradient gf + J'y (for slope/stat/fallback)
             grad_ref[:, :] = jnp.broadcast_to(gfv, (n, _LANES))
             grad_ref[h0:h0 + h, :] = r_h
             for bi, (s, sz) in enumerate(blocks):
-                grad_ref[s:s + sz, :] = M_refs[bi][:, h:h + 1, :][:, 0, :]
+                gi, off = _wide(bi)
+                grad_ref[s:s + sz, :] = \
+                    M_refs[gi][:, h:h + 1, off:off + _LANES][:, 0, :]
 
             # -- ridge ----------------------------------------------------
             dmax = jnp.max(jnp.abs(_diag3(S[:, :, :], h)), axis=0,
                            keepdims=True)
-            for bi, (s, sz) in enumerate(blocks):
-                dmax = jnp.maximum(dmax, jnp.max(
-                    jnp.abs(_diag3(D_refs[bi][:, :, :], sz)), axis=0,
-                    keepdims=True))
+            for gi, (sz, bis) in enumerate(groups):
+                dg = jnp.max(jnp.abs(_diag3(D_refs[gi][:, :, :], sz)),
+                             axis=0, keepdims=True)      # (1, W)
+                for slot in range(len(bis)):
+                    dmax = jnp.maximum(
+                        dmax, dg[:, slot * _LANES:(slot + 1) * _LANES])
             ridge = gn_rel * jnp.maximum(dmax, 1.0) + delta     # (1, 128)
             S[:, :, :] = S[:, :, :] + _eye3(h, dt) * ridge[None, :, :]
 
-            # -- factor tail blocks, Y = L^-1 [C' | r_b], Schur ------------
+            # -- factor tail groups, Y = L^-1 [C' | r_b], Schur ------------
             S_t = S[:, :, :]
             r_t = r_h
-            for bi, (s, sz) in enumerate(blocks):
-                D_refs[bi][:, :, :] = D_refs[bi][:, :, :] \
-                    + _eye3(sz, dt) * ridge[None, :, :]
-                _masked_chol(D_refs[bi], sz)
-                _fwd_subst_panel(D_refs[bi], M_refs[bi], sz, h + 1)
-                Y = M_refs[bi][:, :, :]            # (sz, h+1, 128)
-
-                def schur(k, acc):
-                    yk = Y[k]                      # (h+1, 128)
-                    return acc + yk[:h, None, :] * yk[None, :, :]
-                G = jax.lax.fori_loop(
-                    0, sz, schur, jnp.zeros((h, h + 1, _LANES), dt))
-                S_t = S_t - G[:, :h, :]
-                r_t = r_t - G[:, h, :]
+            for gi, (sz, bis) in enumerate(groups):
+                k_g = len(bis)
+                ridge_w = jnp.concatenate([ridge] * k_g, axis=1) \
+                    if k_g > 1 else ridge
+                D_refs[gi][:, :, :] = D_refs[gi][:, :, :] \
+                    + _eye3(sz, dt) * ridge_w[None, :, :]
+                _masked_chol(D_refs[gi], sz)
+                _fwd_subst_panel(D_refs[gi], M_refs[gi], sz, h + 1)
+                Y = M_refs[gi][:, :, :]            # (sz, h+2, W)
+                G = _gram_rows(Y[:, :h + 1, :], h)  # (h, h+1, W)
+                for slot in range(k_g):
+                    off = slot * _LANES
+                    S_t = S_t - G[:, :h, off:off + _LANES]
+                    r_t = r_t - G[:, h, off:off + _LANES]
 
             # -- head solve + back-substitution ---------------------------
             S[:, :, :] = S_t
             _masked_chol(S, h)
-            z_h = _fwd_subst_vec(S, r_t, h)
-            dx_h = _bwd_subst_vec(S, z_h, h)       # (h, 128)
+            Wh[:, :, :] = r_t[:, None, :]
+            _fwd_subst_col(S, Wh, h, 0)
+            _bwd_subst_col(S, Wh, h, 0)
+            dx_h = Wh[:, :, :][:, 0, :]            # (h, 128)
 
-            dx = jnp.zeros((n, _LANES), dt)
-            dx = dx.at[h0:h0 + h, :].set(dx_h)
+            for gi, (sz, bis) in enumerate(groups):
+                k_g = len(bis)
+                dx_h_w = jnp.concatenate([dx_h] * k_g, axis=1) \
+                    if k_g > 1 else dx_h
+                Y = M_refs[gi][:, :, :]
+                t_w = Y[:, h, :] - jnp.sum(
+                    Y[:, :h, :] * dx_h_w[None, :, :], axis=1)   # (sz, W)
+                # back-substitute in the work column h+1 of the panel
+                M_refs[gi][:, h + 1:h + 2, :] = t_w[:, None, :]
+                _bwd_subst_col(D_refs[gi], M_refs[gi], sz, h + 1)
+            pieces = [(h0, dx_h)]
             for bi, (s, sz) in enumerate(blocks):
-                Y = M_refs[bi][:, :, :]
-                t_b = Y[:, h, :] - jnp.sum(
-                    Y[:, :h, :] * dx_h[None, :, :], axis=1)   # (sz, 128)
-                dx_b = _bwd_subst_vec(D_refs[bi], t_b, sz)
-                dx = dx.at[s:s + sz, :].set(dx_b)
-            dx = -dx
+                gi, off = _wide(bi)
+                pieces.append((s, M_refs[gi][:, h + 1:h + 2,
+                                             off:off + _LANES][:, 0, :]))
+            # head + blocks tile [0, n) (detect_arrow covers leftovers),
+            # so dx assembles as an ordered concat -- no value scatter,
+            # which Mosaic cannot lower
+            pieces.sort(key=lambda sp: sp[0])
+            dx = -jnp.concatenate([pc for (_, pc) in pieces], axis=0)
 
             # -- fallback + trust region ----------------------------------
             grad = grad_ref[:, :]
@@ -525,16 +579,15 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                 n_f = df_f.shape[0]
                 if f.kind == "const":
                     A2 = uA[f.iA][:, :]
-                    Jd_parts[fi] = jnp.dot(A2, df_f,
-                                           preferred_element_type=dt)
+                    Jd_parts[fi] = dotf(A2, df_f)
                 else:
                     A = fam_A(f)
                     if f.iQ >= 0:
                         xf = gather(x_out[:, :], f.runs)
                         Qf = uQ[f.iQ][:, :]
-                        t2 = jnp.dot(Qf, df_f, preferred_element_type=dt)
+                        t2 = dotf(Qf, df_f)
                         t2 = t2.reshape(m_f, n_f, _LANES)
-                        t1 = jnp.dot(Qf, xf, preferred_element_type=dt)
+                        t1 = dotf(Qf, xf)
                         J = A + 2.0 * t1.reshape(m_f, n_f, _LANES)
                         Jd_parts[fi] = jnp.sum(J * df_f[None, :, :], axis=1)
                         qd_parts[fi] = jnp.sum(t2 * df_f[None, :, :], axis=1)
@@ -599,10 +652,12 @@ def make_fused_kernel(plan: FusedPlan, opt, n_inner: int,
                      jax.ShapeDtypeStruct((1, B), dt))
         scratch = ([pltpu.VMEM((m, _LANES), dt),           # cv
                     pltpu.VMEM((h, h, _LANES), dt)]        # S
-                   + [pltpu.VMEM((sz, sz, _LANES), dt) for (_, sz) in blocks]
-                   + [pltpu.VMEM((sz, h + 1, _LANES), dt)
-                      for (_, sz) in blocks]
-                   + [pltpu.VMEM((n, _LANES), dt)])        # grad
+                   + [pltpu.VMEM((sz, sz, len(bis) * _LANES), dt)
+                      for (sz, bis) in groups]
+                   + [pltpu.VMEM((sz, h + 2, len(bis) * _LANES), dt)
+                      for (sz, bis) in groups]             # [C' | r_b | w]
+                   + [pltpu.VMEM((n, _LANES), dt),         # grad
+                      pltpu.VMEM((h, 1, _LANES), dt)])     # head work col
 
         return pl.pallas_call(
             kern,

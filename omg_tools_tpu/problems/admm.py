@@ -479,7 +479,13 @@ class ADMMProblem(DistributedProblem):
             if group.alm_state is None:
                 st = group.vsolve(Xj, Pj)
             else:
-                st = group.vresolve(Xj, Pj, group.alm_state)
+                # re-arm the ALM penalty on warm resolves: carried across
+                # consensus iterations it only ever ratchets, eventually
+                # wrecking the f32 Newton conditioning (see
+                # parallel/fleet_runner.py alm_rho_cap)
+                warm = group.alm_state._replace(
+                    rho=jnp.minimum(group.alm_state.rho, 10.0))
+                st = group.vresolve(Xj, Pj, warm)
             group.alm_state = jax.tree_util.tree_map(jnp.asarray, st)
             group.X = np.asarray(st.x, dtype=np.float64)
         # shared coefficients (original coordinates)

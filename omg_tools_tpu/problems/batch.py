@@ -660,7 +660,9 @@ class BatchedP2PRunner:
                                   st_r.rho))
                 return _solve(C, st_in, x_in, p_r, phase, rescue_outer)
 
-            rescue_solve = jax.vmap(rescue_one)
+            # phase is uniform across rescued lanes: keep it UNBATCHED so
+            # the fused path's phase-sliced shared tensors stay unbatched
+            rescue_solve = jax.vmap(rescue_one, in_axes=(0, 0, None, 0))
 
             def scan_body(carry, k):
                 st, p, state, streak = batched_solve(C, carry, k)
@@ -671,8 +673,7 @@ class BatchedP2PRunner:
                     k_r = min(rescue_lanes, trigger_feas(st).shape[0])
                     _, idx = jax.lax.top_k(trigger_feas(st), k_r)
                     st_r = jax.tree_util.tree_map(lambda a: a[idx], st)
-                    phase = jnp.broadcast_to(k % spk, (k_r,))
-                    st_r2 = rescue_solve(st_r, p[idx], phase, state[idx])
+                    st_r2 = rescue_solve(st_r, p[idx], k % spk, state[idx])
                     take = (trigger_feas(st_r) > rescue_tol) & \
                         (trigger_feas(st_r2) < trigger_feas(st_r))
 

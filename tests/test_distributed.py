@@ -11,7 +11,7 @@ from omg_tools_tpu import (Holonomic, Fleet, Environment, Obstacle, Circle,
                            FormationPoint2pointDualDecomposition, Simulator)
 from omg_tools_tpu.environment.shapes import RegularPolyhedron
 
-pytestmark = pytest.mark.slow
+# default tier module; individual hogs carry @pytest.mark.slow
 
 
 def make_fleet(N=3, asym=False):
@@ -121,6 +121,7 @@ def test_dd_formation():
     assert tail_mismatch() < 0.5 * m0
 
 
+@pytest.mark.slow
 def test_dd_vs_admm_closedloop():
     """DD tracks the ADMM solution on the same fleet (the reference's
     compare_distributed_optimization_quadrotors.py cross-check pattern)."""
@@ -146,6 +147,7 @@ def test_dd_vs_admm_closedloop():
     assert dev < 0.15, f"DD deviates {dev:.3f} m from the ADMM solution"
 
 
+@pytest.mark.slow
 def test_admm_full_graph_heterogeneous_to_goal():
     """Full interconnection graph + heterogeneous fleet (two Holonomic, one
     HolonomicOrient): the three NotImplementedError guards of round 1 are
@@ -182,6 +184,7 @@ def test_admm_full_graph_heterogeneous_to_goal():
     assert reached or np.all(dist < 0.15), f"fleet stopped at {dist}"
 
 
+@pytest.mark.slow
 def test_admm_matches_central_formation():
     """The reference's own cross-check pattern
     (examples/compare_distributed_vs_central_quadrotors.py): distributed
@@ -209,6 +212,7 @@ def test_admm_matches_central_formation():
     assert dev < 0.12, f"ADMM deviates {dev:.3f} m from the central solution"
 
 
+@pytest.mark.slow
 def test_nesterov_acceleration():
     """Nesterov-accelerated ADMM with restart converges at least as well as
     the plain iteration on the init-phase consensus (reference
@@ -230,6 +234,7 @@ def test_nesterov_acceleration():
     assert finals[True] < 2.0 * finals[False] + 1e-6
 
 
+@pytest.mark.slow
 def test_generic_admm_partitioning():
     """Generic constraint partitioning (the interprete_constraints analog):
     formation re-derived through the AD-extracted shared map, plus a NOVEL

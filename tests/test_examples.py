@@ -17,7 +17,7 @@ import sys
 
 import pytest
 
-pytestmark = pytest.mark.slow
+# byte-compile checks run in the default tier; the smoke runs are slow
 
 EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), "..", "examples")
 
@@ -53,6 +53,7 @@ def test_example_compiles(fname):
 
 
 @pytest.mark.parametrize("fname", RUN_SET)
+@pytest.mark.slow
 def test_example_runs(fname):
     env = dict(os.environ, OMG_SMOKE="1", MPLBACKEND="Agg")
     env.setdefault("JAX_PLATFORMS", "cpu")

@@ -7,7 +7,7 @@ import pytest
 from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle, Square,
                            Point2point, Deployer)
 
-pytestmark = pytest.mark.slow
+
 
 
 def build_problem():

@@ -12,7 +12,7 @@ from omg_tools_tpu import (Holonomic, Fleet, Environment, Obstacle, Circle,
 from omg_tools_tpu.environment.shapes import RegularPolyhedron
 from omg_tools_tpu.parallel.fleet_runner import FleetRunner
 
-pytestmark = pytest.mark.slow
+# default tier module; individual hogs carry @pytest.mark.slow
 
 
 def build_formation(N=4, obstacle=True):
@@ -53,6 +53,40 @@ def test_fleet_iterate_residual_decrease(formation4):
     assert pri[-1] <= max(pri[0], 1e-6)
 
 
+def test_device_accelerate_matches_host(formation4):
+    """The branch-free device Nesterov step (FleetRunner._accelerate) is
+    numerically identical to the host ADMMProblem._accelerate (reference
+    admm.py:510-554) over a mixed converging/restarting sequence."""
+    problem, _, _ = formation4
+    runner = FleetRunner(problem, dtype=jnp.float64)
+    rng = np.random.default_rng(3)
+    shZ, shL = problem.Z.shape, problem.L.shape
+    problem.nesterov = True
+    problem.nesterov_reset = True
+    problem.eta = runner.eta
+    problem._alpha = 1.0
+    problem._c_res_p = None
+    Z0 = rng.standard_normal(shZ)
+    L0 = rng.standard_normal(shL)
+    problem._Z_p, problem._L_p = Z0.copy(), L0.copy()
+    acc = runner._accel_init(jnp.asarray(Z0), jnp.asarray(L0))
+    for k in range(8):
+        Zk = rng.standard_normal(shZ)
+        Lk = rng.standard_normal(shL)
+        pri = float(abs(rng.standard_normal())) * (0.5 ** k)
+        dua = float(abs(rng.standard_normal())) * (0.5 ** k)
+        if k == 5:
+            pri, dua = 10.0, 10.0          # force a restart
+        problem.Z, problem.L = Zk.copy(), Lk.copy()
+        problem._accelerate(runner.rho * pri * pri + dua * dua)
+        Zd, Ld, acc = runner._accelerate(
+            jnp.asarray(Zk), jnp.asarray(Lk), acc,
+            jnp.asarray(pri), jnp.asarray(dua))
+        np.testing.assert_allclose(np.asarray(Zd), problem.Z, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(Ld), problem.L, atol=1e-12)
+
+
+@pytest.mark.slow
 def test_fleet_rollout_progress(formation4):
     problem, _, goals = formation4
     runner = FleetRunner(problem, dtype=jnp.float64)
@@ -69,6 +103,7 @@ def test_fleet_rollout_progress(formation4):
     assert np.asarray(out["pri"])[-1] < 5e-2
 
 
+@pytest.mark.slow
 def test_fleet_mesh_matches_single_device(formation4):
     """Ring-ppermute (4 devices), gathered-table (3 devices, N ∤ n_dev)
     and the expected single-device residuals agree."""
@@ -90,6 +125,7 @@ def test_fleet_mesh_matches_single_device(formation4):
     assert res[4][-1] < res[4][0]
 
 
+@pytest.mark.slow
 def test_fleet_mesh_rollout_receding_horizon(formation4):
     """mesh_rollout_fn: the full receding-horizon fleet loop (knot-passage
     shifts + phase transforms + plant updates) runs inside the shard_map
@@ -122,6 +158,7 @@ def test_fleet_mesh_rollout_receding_horizon(formation4):
     assert pri[-1] < 0.1, pri
 
 
+@pytest.mark.slow
 def test_device_loop_matches_host_loop():
     """ADMMProblem.enable_device_loop: the closed-loop executed states
     match the host (numpy-consensus) path, and the physical-unit

@@ -9,7 +9,7 @@ import pytest
 from omg_tools_tpu import (Holonomic, Environment, Obstacle, Rectangle,
                            Circle, Square, Point2point, Simulator)
 
-pytestmark = pytest.mark.slow
+
 
 
 def build(moving=False, obstacles=True):

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 from parity import (build_p2p_holonomic, rollout_parity,  # noqa: E402
                     _reference_rollout, openloop_parity)
 
-pytestmark = pytest.mark.slow
+# default tier module; individual hogs carry @pytest.mark.slow
 
 
 def test_single_solve_agreement():
@@ -66,6 +66,7 @@ def test_openloop_control_parity():
     assert float(np.percentile(res["per_step"], 90)) < 5e-3, res["per_step"]
 
 
+@pytest.mark.slow
 def test_rollout_parity_closed_loop():
     """The bench hot path (batched device rollout) tracks the reference
     closed loop: max state deviation below 5 cm over 2 s at 10 Hz

@@ -10,7 +10,7 @@ from omg_tools_tpu import (Holonomic, Environment, Obstacle, Circle,
                            SchedulerProblem, AStarPlanner, Tool, GCodeReader,
                            GCodeSchedulerProblem, Simulator)
 
-pytestmark = pytest.mark.slow
+# default tier module; individual hogs carry @pytest.mark.slow
 
 
 def test_astar_avoids_obstacle():
@@ -74,6 +74,7 @@ def test_scheduler_frames_and_solve():
     assert d1 < d0
 
 
+@pytest.mark.slow
 def test_gcode_pipeline():
     gcode = ["G00 X0 Y0 Z0", "G01 X6 Y0 Z0", "G01 X6 Y4 Z0"]
     reader = GCodeReader()
@@ -95,6 +96,7 @@ def test_gcode_pipeline():
     assert problem.solver_stats["feas"] < 1e-3
 
 
+@pytest.mark.slow
 def test_scheduler_two_frames_corridor():
     """schedulerproblem_example2-style run: long corridor path, 2-frame
     MultiFrameProblem local problems, overlap hand-off, compiled-problem
@@ -130,6 +132,7 @@ def test_scheduler_two_frames_corridor():
         "regressed")
 
 
+@pytest.mark.slow
 def test_scheduler_moving_obstacle_membership():
     """A moving obstacle crossing into the active frame forces a frame
     rebuild mid-run (reference schedulerproblem.py:138-209 membership
@@ -165,6 +168,7 @@ def test_scheduler_moving_obstacle_membership():
     assert d < np.linalg.norm(np.array([-4.0, -4.0]) - np.array([4.0, 4.0]))
 
 
+@pytest.mark.slow
 def test_scheduler_maze_reaches_goal():
     """The vast-environment maze (examples/gui_examples): a serpentine
     wall maze traversed end-to-end by the corridor scheduler -- the goal

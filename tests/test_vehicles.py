@@ -10,7 +10,7 @@ from omg_tools_tpu import (Holonomic, Holonomic1D, Holonomic3D,
                            Obstacle, Circle, Square, Rectangle, Cube, Sphere,
                            Point2point)
 
-pytestmark = pytest.mark.slow
+
 
 
 def cold_solve(problem, vehicle):
@@ -38,6 +38,7 @@ def test_holonomic1d():
     np.testing.assert_allclose(S[0, -1], 2.0, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_holonomic_orient():
     veh = HolonomicOrient()
     veh.set_initial_conditions([-1.5, -1.5, 0.0])
@@ -50,6 +51,7 @@ def test_holonomic_orient():
     np.testing.assert_allclose(S[1, -1], 2.0, atol=0.3)
 
 
+@pytest.mark.slow
 def test_dubins_freeT():
     veh = Dubins(bounds={"vmax": 0.7, "wmax": np.pi / 3,
                          "wmin": -np.pi / 3})
@@ -120,6 +122,7 @@ def test_bicycle_freeT():
     assert np.max(np.abs(delta)) < np.pi / 6 + 5e-2
 
 
+@pytest.mark.slow
 def test_agv_freeT():
     """Rear-wheel-steered AGV (reference vehicles/agv.py:50, TCST'17)."""
     from omg_tools_tpu import AGV
@@ -134,6 +137,7 @@ def test_agv_freeT():
     np.testing.assert_allclose(S[:2, -1], [3.0, 3.0], atol=5e-2)
 
 
+@pytest.mark.slow
 def test_trailer_freeT():
     """Trailer towed by a Dubins lead vehicle (reference
     vehicles/trailer.py:28-44): the trailer angle spline rides on the
