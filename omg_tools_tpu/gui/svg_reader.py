@@ -218,7 +218,11 @@ class SVGReader:
             out.setdefault("velocity", [0.0, 0.0])
             out.setdefault("bounce", False)
             obstacles.append(out)
-        return {"position": list(self.position),
+        # description "position" is the room CENTER (the EnvironmentGUI /
+        # Environment convention); obstacle coordinates are world-absolute
+        # with the SVG's lower-left corner at self.position
+        return {"position": [self.position[0] + 0.5 * self.width_px * scale,
+                             self.position[1] + 0.5 * self.height_px * scale],
                 "width": self.width_px * scale,
                 "height": self.height_px * scale,
                 "obstacles": obstacles}

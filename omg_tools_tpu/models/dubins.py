@@ -41,6 +41,7 @@ class Dubins(Vehicle):
 
     def init(self):
         self.pos0 = self.define_parameter("pos0", 2)
+        self._lift = None
 
     def integrate_once(self, dx, x0, t, T=1.0):
         """Exact spline antiderivative with x(t) = x0
@@ -51,6 +52,9 @@ class Dubins(Vehicle):
         return dx_int - evalspline(dx_int, t / T) + x0
 
     def _positions(self, splines, horizon_time):
+        if self._lift is not None:
+            _, xs, ys = self._lift
+            return xs, ys
         v_til, tg_ha = splines
         dx = v_til * (1 - tg_ha * tg_ha)
         dy = v_til * (2 * tg_ha)
@@ -64,9 +68,53 @@ class Dubins(Vehicle):
         v_til, tg_ha = splines
         dtg_ha = tg_ha.derivative()
         T = horizon_time
-        # velocity bound: V = v_til (1 + tg_ha^2) <= vmax; forward only
-        self.define_constraint(v_til * (1 + tg_ha * tg_ha) - self.vmax,
-                               -BIG, 0.0)
+        if self.options.get("substitution"):
+            # Full quadratic lift (TPU-native extension of the reference's
+            # substitution modes, ref dubins.py:92-115; the reference lifts
+            # dx, dy and its tie rows stay CUBIC in the decision splines).
+            # Three auxiliaries make EVERY constraint row at most quadratic
+            # with COEFFICIENTS free of the time parameter, so the batched
+            # rollout's quadratic-structure detection, compact-arrow
+            # factorization and fused Pallas kernel all apply:
+            #   w  = tg_ha^2                    (exact quadratic tie)
+            #   xs, ys: POSITION splines tied through their derivatives,
+            #       xs' - T v_til (1 - w) in [-eps, eps]   (quadratic,
+            #       t-free; the integral anchor that would make the
+            #       quadratic weights time-dependent is replaced by the
+            #       linear initial-condition row xs(t0) = pos0)
+            #   V  = v_til (1 + w) <= vmax      (quadratic)
+            # Position error vs the exact integral is bounded by eps
+            # (unit horizon domain) -- the same tolerance-tie idea as the
+            # reference's non-exact substitution (ref dubins.py:104-115).
+            # Declaration order (xs, ys before w) keeps the arrow head
+            # small: collision/terminal rows touch only the spline+xs+ys
+            # span, and w becomes its own uncoupled tail block.
+            from ..ops.basis import Basis
+            d = self.degree
+            interior = self.knots[d + 1:len(self.knots) - (d + 1)]
+            d_pos = d + 1
+            knots_pos = np.r_[np.zeros(d_pos + 1), interior,
+                              np.ones(d_pos + 1)]
+            basis_pos = Basis(knots_pos, d_pos)
+            xs = self.define_spline_variable("xs_lift", 1,
+                                             basis=basis_pos)[0]
+            ys = self.define_spline_variable("ys_lift", 1,
+                                             basis=basis_pos)[0]
+            w2 = tg_ha * tg_ha
+            w = self.define_spline_variable("w_lift", 1, basis=w2.basis)[0]
+            self.define_constraint(w - w2, 0.0, 0.0)
+            dx_q = v_til * (1.0 - w)
+            dy_q = v_til * (2.0 * tg_ha)
+            eps = self.options.get("substitution_eps", 2e-3)
+            self.define_constraint(xs.derivative() - T * dx_q, -eps, eps)
+            self.define_constraint(ys.derivative() - T * dy_q, -eps, eps)
+            self._lift = (w, xs, ys)
+            self.define_constraint(v_til + v_til * w - self.vmax, -BIG, 0.0)
+        else:
+            self._lift = None
+            # velocity bound: V = v_til (1 + tg_ha^2) <= vmax; forward only
+            self.define_constraint(v_til * (1 + tg_ha * tg_ha) - self.vmax,
+                                   -BIG, 0.0)
         self.define_constraint(-v_til, -BIG, 0.0)
         # rotation-rate bounds: dtheta = 2 dtg_ha / (1 + tg_ha^2)
         self.define_constraint(2 * dtg_ha - (1 + tg_ha * tg_ha) * T * self.wmax,
@@ -79,8 +127,15 @@ class Dubins(Vehicle):
         tg_ha0 = self.define_parameter("tg_ha0", 1)
         dtg_ha0 = self.define_parameter("dtg_ha0", 1)
         v_til, tg_ha = splines
-        return [(v_til, v_til0[0]), (tg_ha, tg_ha0[0]),
-                (tg_ha.derivative(), horizon_time * dtg_ha0[0])]
+        con = [(v_til, v_til0[0]), (tg_ha, tg_ha0[0]),
+               (tg_ha.derivative(), horizon_time * dtg_ha0[0])]
+        if self._lift is not None:
+            # the lifted position splines are anchored HERE (linear rows
+            # at t0) instead of inside the integral transform, which would
+            # make the quadratic tie weights time-dependent
+            _, xs, ys = self._lift
+            con += [(xs, self.pos0[0]), (ys, self.pos0[1])]
+        return con
 
     def get_terminal_constraints(self, splines, horizon_time=None):
         horizon_time = horizon_time if horizon_time is not None \

@@ -181,10 +181,38 @@ class BatchedP2PRunner:
                 an["TA"], an["f0"], an["gf"],
                 row_scale=problem._row_scale,
                 obj_scale=problem._obj_scale,
-                # head of the block-arrow partition: the vehicle spline
-                # coefficients (every constraint family touches them)
-                head=(int(self.i_splines[0]), len(self.i_splines)),
                 p_cols=an["vsel"])
+            # head of the block-arrow partition: the smallest contiguous
+            # span of the vehicle's variable blocks (starting at the
+            # splines) whose complement decouples into pairwise-uncoupled
+            # tail blocks.  Plain holonomic-style models: the spline block
+            # itself.  Lifted models (Dubins substitution): splines + the
+            # dx/dy auxiliaries, while the w = tg_ha^2 lift stays a tail
+            # block of its own.
+            from ..ops.compact import detect_arrow
+            veh_blocks = sorted(
+                (blk for (lbl, _), blk in tr.layout.variables.items()
+                 if lbl == vehicle.label), key=lambda b: b.offset)
+            lo = int(self.i_splines[0])
+            ends = sorted({int(b.offset + b.size) for b in veh_blocks
+                           if b.offset + b.size > lo})
+            best = None
+            for hi in ends:
+                arrow = detect_arrow(self.compact.families, tr.n_x,
+                                     (lo, hi - lo))
+                if arrow is None:
+                    continue
+                # pick the cheapest factorization: head Cholesky + per-
+                # block Cholesky + Schur panels (detect_arrow merges
+                # coupled tails into one block, so a too-small head shows
+                # up as one giant block, not a failure)
+                h = arrow.head[1]
+                cost = h ** 3 + sum(b ** 3 + 2 * b * b * (h + 1)
+                                    for (_, b) in arrow.blocks)
+                if best is None or cost < best[0]:
+                    best = (cost, arrow)
+            if best is not None:
+                self.compact.arrow = best[1]
             self.structure = "compact"
             if self.compact.arrow is not None:
                 self.structure = "compact-arrow"
@@ -385,6 +413,18 @@ class BatchedP2PRunner:
         x0 = np.tile(tr.initial_guess()[None, :], (B, 1))
         x0[:, self.i_splines] = self.model.init_guess(
             starts, goals, n_coef).reshape(B, -1)
+        # lifted position splines (Dubins substitution): straight-line
+        # coefficient guesses from start to goal per axis
+        for ax, name in enumerate(("xs_lift", "ys_lift")):
+            try:
+                sl, shape = tr.var_slice(vehicle, name)
+            except KeyError:
+                break
+            npos = shape[0]
+            ramp = np.linspace(0.0, 1.0, npos)[None, :]
+            x0[:, sl.start:sl.stop] = (
+                starts[:, ax:ax + 1] + ramp
+                * (goals[:, ax:ax + 1] - starts[:, ax:ax + 1]))
 
         # parameters
         p0 = np.tile(np.zeros(tr.n_p)[None, :], (B, 1))

@@ -138,3 +138,35 @@ def test_rotating_obstacle_simulation():
     s1, _ = obs.draw(t=-1)
     # outline rotated: vertices moved
     assert not np.allclose(s0[0], s1[0])
+
+
+def test_svg_maze_pipeline():
+    """The SVG maze asset parses into the expected wall geometry and the
+    resulting Environment supports global planning from start to goal --
+    the SVG -> EnvironmentGUI -> Environment -> planner content pipeline
+    (reference gui/svg_reader.py:6-340 driven from
+    examples/gui_examples/svg/)."""
+    import os
+    svg = os.path.join(os.path.dirname(__file__), "..", "examples",
+                       "gui_examples", "svg", "maze_gen.svg")
+    gui = EnvironmentGUI(display=False)
+    gui.load_svg(svg, world_width=20.0)
+    # four path walls + two circles, world scale 20 m / 1000 px
+    walls = [o for o in gui.obstacles if o["shape"] == "rectangle"]
+    discs = [o for o in gui.obstacles if o["shape"] == "circle"]
+    assert len(walls) == 4 and len(discs) == 2
+    w0 = min(walls, key=lambda o: o["pos"][0])
+    assert w0["width"] == pytest.approx(0.6)      # 30 px * 0.02
+    assert w0["height"] == pytest.approx(9.0)     # 450 px * 0.02
+    assert w0["pos"][0] == pytest.approx(4.0)     # (185+215)/2 px * 0.02
+    assert discs[0]["radius"] == pytest.approx(0.6)
+    env = gui.get_environment()
+    assert len(env.obstacles) == 6
+    # the serpentine corridor is navigable end to end
+    from omg_tools_tpu.problems.globalplanner import AStarPlanner
+    planner = AStarPlanner(env, [40, 24], [1.0, 1.0], [19.0, 11.0],
+                           vehicle_size=0.5)
+    path = planner.get_path()
+    assert path is not None and len(path) > 10
+    ends = np.asarray(path[-1][:2], dtype=float)
+    assert np.linalg.norm(ends - np.array([19.0, 11.0])) < 1.5
