@@ -47,6 +47,9 @@ OUTER_ITER = int(os.environ.get("BENCH_OUTER", "2"))
 # cheapest budget that passes trajectory parity vs the reference solver
 # (tools/parity.py sweep; 1 outer plateaus ~0.3 m from the true optimum)
 INNER_ITER = int(os.environ.get("BENCH_INNER", "5"))
+# initial ALM penalty (ops/alm.ALMOptions.rho_init); the lifted-Dubins
+# transcription converges tighter from a stiffer start
+RHO0 = float(os.environ.get("BENCH_RHO0", "10"))
 # f32 batch-tail rescue: the worst K lanes per step get extra ALM rounds
 # (problems/batch.py rollout_fn rescue_lanes) at ~K/BATCH relative cost
 RESCUE = int(os.environ.get("BENCH_RESCUE", "128"))
@@ -278,8 +281,21 @@ def main():
     from omg_tools_tpu.problems.batch import BatchedP2PRunner
     from omg_tools_tpu.ops.alm import ALMOptions
     runner = BatchedP2PRunner(problem, dtype=jnp.float32,
-                              alm_options=ALMOptions(inner_iter=INNER_ITER))
+                              alm_options=ALMOptions(inner_iter=INNER_ITER,
+                                                     rho_init=RHO0))
     global RESCUE, RESCUE_OUTER, BUDGETS, BATCH
+    if CONFIG == "p2p_dubins" and runner.structure.startswith("compact"):
+        # lifted-Dubins (quadratic substitution): deeper budgets + rescue
+        # push the f32 feasibility tail toward the 1e-3 gate (round-5
+        # sweep: stock 3x8,1x7 -> 5187 solves/s at p99 2.3e-3; 4x10,2x8 +
+        # 256-lane rescue -> 2292 solves/s at p99 1.39e-3 -- both far over
+        # the >= 1000 line, the latter reported as the gated lane)
+        if "BENCH_BUDGETS" not in os.environ:
+            BUDGETS = "4x10,2x8"
+        if "BENCH_RESCUE" not in os.environ:
+            RESCUE = 256
+        if "BENCH_RESCUE_OUTER" not in os.environ:
+            RESCUE_OUTER = 8
     if runner.structure == "generic":
         # no quadratic/compact structure (e.g. Dubins: cubic tan-half-angle
         # products): the rollout runs AD-per-iteration and the nonconvex

@@ -92,7 +92,10 @@ class Dubins(Vehicle):
             from ..ops.basis import Basis
             d = self.degree
             interior = self.knots[d + 1:len(self.knots) - (d + 1)]
-            d_pos = d + 1
+            # elevated-degree position splines: their derivative must
+            # approximate the degree-3d product T*v_til(1-w) within the
+            # eps tie corridor
+            d_pos = d + int(self.options.get("substitution_degree_extra", 1))
             knots_pos = np.r_[np.zeros(d_pos + 1), interior,
                               np.ones(d_pos + 1)]
             basis_pos = Basis(knots_pos, d_pos)
@@ -105,7 +108,7 @@ class Dubins(Vehicle):
             self.define_constraint(w - w2, 0.0, 0.0)
             dx_q = v_til * (1.0 - w)
             dy_q = v_til * (2.0 * tg_ha)
-            eps = self.options.get("substitution_eps", 2e-3)
+            eps = self.options.get("substitution_eps", 5e-3)
             self.define_constraint(xs.derivative() - T * dx_q, -eps, eps)
             self.define_constraint(ys.derivative() - T * dy_q, -eps, eps)
             self._lift = (w, xs, ys)

@@ -25,9 +25,12 @@ mesh by padding to equal per-device blocks and routing the ring exchange
 through a gathered table when N does not divide the axis.
 
 Heterogeneous fleets (several vehicle-type groups, reference
-separate_per_build distributedproblem.py:88-103) run fused on one chip:
-per-group vmapped solves + scatter into the fleet-wide shared matrix.  The
-mesh path requires a homogeneous fleet (one compiled program per device).
+separate_per_build distributedproblem.py:88-103): on one chip, per-group
+vmapped solves + scatter into the fleet-wide shared matrix; on the mesh,
+every device executes every group's solver on its vehicle block (SPMD --
+no divergent control flow) with one-hot type masks selecting the rows each
+group owns, while the consensus exchange stays group-agnostic (one
+fleet-wide shared-coefficient layout).
 """
 
 from __future__ import annotations
@@ -70,7 +73,8 @@ class FleetRunner:
 
     ``mesh``/``axis``: optional jax mesh; the vehicle dimension is then
     sharded over ``axis`` and consensus communication becomes
-    ppermute/psum collectives.  Requires a homogeneous fleet.
+    ppermute/psum collectives (mixed fleets supported via per-group
+    type masks).
     """
 
     def __init__(self, admm_problem, dtype=jnp.float32, update_time=0.1,
@@ -107,11 +111,12 @@ class FleetRunner:
         self.rho = float(ap.rho)
         self.circular = ap.n_edges > 1
 
-        if mesh is not None and len(ap.groups) != 1:
-            raise NotImplementedError(
-                "mesh-sharded fleet loop needs a homogeneous fleet (one "
-                "compiled template); heterogeneous fleets run fused on one "
-                "chip (mesh=None)")
+        # heterogeneous fleets on the mesh: every device runs EVERY
+        # vehicle-type group's solver on its block (SPMD -- no divergent
+        # control flow) with one-hot type masks selecting which rows each
+        # group owns; the consensus exchange is group-agnostic (the shared
+        # coefficients have one fleet-wide layout, reference
+        # separate_per_build distributedproblem.py:88-103)
 
         tmpl = ap.template
         self.horizon = float(tmpl.options["horizon_time"])
@@ -402,9 +407,6 @@ class FleetRunner:
         table otherwise)."""
         if self.mesh is None:
             raise ValueError("construct the FleetRunner with a mesh")
-        if len(self._g) != 1:
-            raise NotImplementedError(
-                "mesh fleet path needs a homogeneous fleet")
         mesh, axis = self.mesh, self.axis
         n_dev = mesh.shape[axis]
         N = self.N
@@ -447,8 +449,11 @@ class FleetRunner:
         return dict(n_dev=n_dev, blk=blk, N_pad=N_pad, ring=ring,
                     pull_next=_pull_next, pull_prev=_pull_prev)
 
-    def _mesh_consensus_iter(self, ms, g, rel, mask, X, Pp, Z, L, phase):
-        """ONE mesh-local ADMM iteration on a device's block: x-update,
+    def _mesh_consensus_iter(self, ms, rel, mask, tmasks, Xs, Ps, Z, L,
+                             phase):
+        """ONE mesh-local ADMM iteration on a device's block: per-group
+        x-updates (every device executes every group's solver on its
+        block; ``tmasks`` one-hot selects the rows each group owns),
         ppermute/psum consensus, lambda update, residuals.  ``phase`` may
         be a python int or a traced index (the transforms are gathered
         from the stacked per-phase tensors)."""
@@ -458,17 +463,23 @@ class FleetRunner:
         TfT = self.TfT[phase]
         TfinvT = self.TfinvT[phase]
         projT = self.projT[phase]
-        rows = X.shape[0]
+        rows = Xs[0].shape[0]
         Zrows = jnp.concatenate([Z, _pull_prev(Z)], axis=1) \
             if self.circular else jnp.broadcast_to(
                 Z.reshape(1, -1), (rows, self.n_sh))
-        Pl = Pp.at[:, jnp.asarray(g["i_z"])].set(Zrows.reshape(rows, -1))
-        Pl = Pl.at[:, jnp.asarray(g["i_l"])].set(L.reshape(rows, -1))
-        solve = jax.vmap(lambda x, p: g["solver"](
-            x, p, g["lb"], g["ub"], outer_iter=self.outer_iter))
-        st = solve(X, Pl)
-        Xn = st.x
-        S = Xn[:, jnp.asarray(g["S_idx"])] + rel
+        Xn_list = []
+        S = jnp.zeros((rows, self.n_sh), dtype=Xs[0].dtype)
+        for g, Xg, Pg, tm in zip(self._g, Xs, Ps, tmasks):
+            Pl = Pg.at[:, jnp.asarray(g["i_z"])].set(
+                Zrows.reshape(rows, -1))
+            Pl = Pl.at[:, jnp.asarray(g["i_l"])].set(L.reshape(rows, -1))
+            solve = jax.vmap(lambda x, p: g["solver"](
+                x, p, g["lb"], g["ub"], outer_iter=self.outer_iter))
+            st = solve(Xg, Pl)
+            Xn_g = jnp.where(tm[:, None] > 0, st.x, Xg)
+            Xn_list.append(Xn_g)
+            S = S + tm[:, None] * (Xn_g[:, jnp.asarray(g["S_idx"])] + rel)
+        Xn = tuple(Xn_list)
         S_t = S @ TfT
         L_t = jnp.einsum("nks,st->nkt", L, TfT)
         if self.circular:
@@ -504,42 +515,74 @@ class FleetRunner:
         return Xn, Z_new, L_new, jnp.sqrt(pr2), jnp.sqrt(dr2)
 
     def _mesh_run_wrapper(self, sharded_fn, out_states=False):
-        """Pad fleet arrays to equal per-device blocks, place them on the
-        mesh, call the shard_mapped function, unpad the results."""
+        """Scatter per-group arrays into fleet order, pad to equal
+        per-device blocks, place them on the mesh, call the shard_mapped
+        function, gather the results back to group order.  Single-group
+        (homogeneous) callers pass and receive bare arrays."""
         mesh, axis = self.mesh, self.axis
         ms = self._mesh_setup()
         N, N_pad = self.N, ms["N_pad"]
-        g0 = self._g[0]
+        ap = self.ap
         rel_full = np.zeros((N_pad, self.n_sh))
-        rel_full[:N] = g0["rel"]
+        for i in range(N):
+            rel_full[i] = ap._rel_offsets(i)
         mask_full = np.zeros(N_pad)
         mask_full[:N] = 1.0
+        tmasks_full = []
+        for g in self._g:
+            tm = np.zeros(N_pad)
+            tm[np.asarray(g["rows"])] = 1.0
+            tmasks_full.append(tm)
 
-        def run(X, Pp, Z, L):
-            """X:(N, n_x) P:(N, n_p) Z:(n_edges, n_sh) L:(N, slots, n_sh);
-            padding and device placement handled here."""
+        def _spec(a, replicated=False):
+            return NamedSharding(
+                mesh, P() if replicated
+                else P(axis, *([None] * (a.ndim - 1))))
+
+        def run(Xs, Ps, Z, L):
+            """Xs/Ps: per-group (n_i, n_x_g)/(n_i, n_p_g) arrays (bare
+            arrays for a homogeneous fleet); Z:(n_edges, n_sh);
+            L:(N, slots, n_sh)."""
+            single = not isinstance(Xs, (tuple, list))
+            Xs = (Xs,) if single else tuple(Xs)
+            Ps = (Ps,) if single else tuple(Ps)
+            dt = Xs[0].dtype
+
+            def scatter(g, A):
+                """Group-local rows -> padded fleet-order rows (pad and
+                foreign rows replicate the group's first row -- benign,
+                masked out of the consensus)."""
+                full = jnp.tile(A[:1], (N_pad, 1))
+                return full.at[jnp.asarray(g["rows"])].set(A)
+
+            Xf = [jax.device_put(scatter(g, X), _spec(X))
+                  for g, X in zip(self._g, Xs)]
+            Pf = [jax.device_put(scatter(g, Pg), _spec(Pg))
+                  for g, Pg in zip(self._g, Ps)]
+
             def pad(a):
                 if a.shape[0] == N_pad:
                     return a
                 fill = jnp.repeat(a[-1:], N_pad - a.shape[0], axis=0)
                 return jnp.concatenate([a, fill], axis=0)
-            Xp, Pq, Lp = pad(X), pad(Pp), pad(L)
-            Zp = pad(Z) if self.circular else Z
-            args = [Xp, Pq, Zp, Lp,
-                    jnp.asarray(rel_full, dtype=X.dtype),
-                    jnp.asarray(mask_full, dtype=X.dtype)]
-            for j, a in enumerate(args):
-                if j == 2 and not self.circular:
-                    sh = NamedSharding(mesh, P())       # replicated z
-                else:
-                    sh = NamedSharding(mesh,
-                                       P(axis, *([None] * (a.ndim - 1))))
-                args[j] = jax.device_put(a, sh)
-            (Xn, Zn, Ln), res = sharded_fn(*args)
+            Lp = jax.device_put(pad(L), _spec(L))
+            Zp = jax.device_put(pad(Z) if self.circular else Z,
+                                _spec(Z, replicated=not self.circular))
+            rel = jax.device_put(jnp.asarray(rel_full, dtype=dt),
+                                 _spec(rel_full))
+            msk = jax.device_put(jnp.asarray(mask_full, dtype=dt),
+                                 _spec(mask_full))
+            tms = [jax.device_put(jnp.asarray(tm, dtype=dt), _spec(tm))
+                   for tm in tmasks_full]
+            (Xn, Zn, Ln), res = sharded_fn(tuple(Xf), tuple(Pf), Zp, Lp,
+                                           rel, msk, tuple(tms))
+            Xg_out = tuple(Xg[jnp.asarray(g["rows"])]
+                           for g, Xg in zip(self._g, Xn))
             if out_states:
                 pri, dua, states = res
                 res = (pri, dua, states[:N])   # (N, n_steps, n_dim)
-            return (Xn[:N], Zn[:N] if self.circular else Zn, Ln[:N]), res
+            return ((Xg_out[0] if single else Xg_out,
+                     Zn[:N] if self.circular else Zn, Ln[:N]), res)
         return run
 
     def mesh_iterate_fn(self, n_iter, phase=0):
@@ -548,15 +591,15 @@ class FleetRunner:
         gathered table (N not divisible), residuals via pmax/psum."""
         ms = self._mesh_setup()
         mesh, axis = self.mesh, self.axis
-        g = self._g[0]
         spec_v = P(axis)
+        n_grp = len(self._g)
 
-        def local(X, Pp, Z, L, rel, mask):
+        def local(Xs, Ps, Z, L, rel, mask, tmasks):
             # one device's block (blk rows); mask zeroes padded rows
             def body(c, _):
-                X, Z, L, acc = c
+                Xs, Z, L, acc = c
                 Xn, Z_new, L_new, pr, dr = self._mesh_consensus_iter(
-                    ms, g, rel, mask, X, Pp, Z, L, phase)
+                    ms, rel, mask, tmasks, Xs, Ps, Z, L, phase)
                 if self.nesterov:
                     # residuals are psum'd (same scalar on every shard), so
                     # the restart decision is globally consistent
@@ -564,18 +607,19 @@ class FleetRunner:
                                                          pr, dr)
                 return (Xn, Z_new, L_new, acc), (pr, dr)
 
-            (X, Z, L, _), res = jax.lax.scan(
-                body, (X, Z, L, self._accel_init(Z, L)), None,
+            (Xs, Z, L, _), res = jax.lax.scan(
+                body, (Xs, Z, L, self._accel_init(Z, L)), None,
                 length=n_iter)
-            return (X, Z, L), res
+            return (Xs, Z, L), res
 
         # full-graph consensus has ONE shared z (replicated); circular has
         # one edge per vehicle (sharded alongside it)
         spec_z = spec_v if self.circular else P()
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
-            out_specs=((spec_v, spec_z, spec_v), (P(), P())))
+            in_specs=((spec_v,) * n_grp, (spec_v,) * n_grp, spec_z, spec_v,
+                      spec_v, spec_v, (spec_v,) * n_grp),
+            out_specs=(((spec_v,) * n_grp, spec_z, spec_v), (P(), P())))
         return self._mesh_run_wrapper(sharded)
 
     def mesh_rollout_fn(self, n_steps, iters_per_update=1):
@@ -587,55 +631,76 @@ class FleetRunner:
         (reference admm.py:477-491 + dualmethod.py:209-224 semantics)."""
         ms = self._mesh_setup()
         mesh, axis = self.mesh, self.axis
-        g = self._g[0]
         spec_v = P(axis)
         spk = self.spk
         dt = self.update_time
+        n_grp = len(self._g)
+        # per-group plant-state dims may differ in a mixed fleet: the
+        # states output is padded to the widest
+        def _sdim(model):
+            for attr in ("i_state0", "i_spl0", "i_pose0"):
+                if hasattr(model, attr):
+                    return int(np.asarray(getattr(model, attr)).size)
+            return 2
+        s_dim = max(_sdim(g["model"]) for g in self._g)
 
-        def local(X, Pp, Z, L, rel, mask):
+        def local(Xs, Ps, Z, L, rel, mask, tmasks):
             def step(carry, k):
-                X, Pp, Z, L = carry
+                Xs, Ps, Z, L = carry
                 phase = k % spk
                 do_shift = (phase == 0) & (k > 0)
                 # knot-passage shift (block-local: shift matrices are
                 # replicated constants)
-                X = jnp.where(do_shift, X @ g["x_shiftT"], X)
+                Xs = tuple(jnp.where(do_shift, Xg @ g["x_shiftT"], Xg)
+                           for g, Xg in zip(self._g, Xs))
                 Z = jnp.where(do_shift, Z @ self.sh_shiftT, Z)
                 L = jnp.where(do_shift,
                               jnp.einsum("nks,st->nkt", L, self.sh_shiftT),
                               L)
-                Pp_t = Pp.at[:, jnp.asarray(g["i_t"])].set(
-                    (phase * dt) * jnp.ones((Pp.shape[0], 1),
-                                            dtype=Pp.dtype))
+                Ps_t = tuple(Pg.at[:, jnp.asarray(g["i_t"])].set(
+                    (phase * dt) * jnp.ones((Pg.shape[0], 1),
+                                            dtype=Pg.dtype))
+                    for g, Pg in zip(self._g, Ps))
 
                 def one(c, _):
-                    X, Z, L, acc = c
+                    Xs, Z, L, acc = c
                     Xn, Z_new, L_new, pr, dr = self._mesh_consensus_iter(
-                        ms, g, rel, mask, X, Pp_t, Z, L, phase)
+                        ms, rel, mask, tmasks, Xs, Ps_t, Z, L, phase)
                     if self.nesterov:
                         Z_new, L_new, acc = self._accelerate(
                             Z_new, L_new, acc, pr, dr)
                     return (Xn, Z_new, L_new, acc), (pr, dr)
-                (X, Z, L, _), (prs, drs) = jax.lax.scan(
-                    one, (X, Z, L, self._accel_init(Z, L)), None,
+                (Xs, Z, L, _), (prs, drs) = jax.lax.scan(
+                    one, (Xs, Z, L, self._accel_init(Z, L)), None,
                     length=iters_per_update)
                 # ideal plant update: sample the solved splines one period
                 # ahead, write state0/input0 back into the parameters
-                cfs = X[:, jnp.asarray(g["i_spl"])].reshape(
-                    (X.shape[0],) + tuple(g["spl_shape"]))
-                upd = jax.vmap(lambda p, c: g["model"].update(
-                    p, c, phase + 1, self.horizon))
-                Pp_n, states = upd(Pp_t, cfs)
-                return (X, Pp_n, Z, L), (prs[-1], drs[-1], states)
+                Ps_n, states = [], jnp.zeros(
+                    (Xs[0].shape[0], s_dim), dtype=Xs[0].dtype)
+                for g, Xg, Pg, tm in zip(self._g, Xs, Ps_t, tmasks):
+                    cfs = Xg[:, jnp.asarray(g["i_spl"])].reshape(
+                        (Xg.shape[0],) + tuple(g["spl_shape"]))
+                    upd = jax.vmap(lambda p, c: g["model"].update(
+                        p, c, phase + 1, self.horizon))
+                    Pg_n, st_g = upd(Pg, cfs)
+                    Ps_n.append(Pg_n)
+                    pad_w = s_dim - st_g.shape[-1]
+                    if pad_w:
+                        st_g = jnp.concatenate(
+                            [st_g, jnp.zeros(st_g.shape[:-1] + (pad_w,),
+                                             st_g.dtype)], axis=-1)
+                    states = states + tm[:, None] * st_g
+                return (Xs, tuple(Ps_n), Z, L), (prs[-1], drs[-1], states)
 
-            (X, Pp, Z, L), (pri, dua, states) = jax.lax.scan(
-                step, (X, Pp, Z, L), jnp.arange(n_steps))
-            return (X, Z, L), (pri, dua, jnp.moveaxis(states, 0, 1))
+            (Xs, Ps, Z, L), (pri, dua, states) = jax.lax.scan(
+                step, (Xs, Ps, Z, L), jnp.arange(n_steps))
+            return (Xs, Z, L), (pri, dua, jnp.moveaxis(states, 0, 1))
 
         spec_z = spec_v if self.circular else P()
         sharded = jax.shard_map(
             local, mesh=mesh,
-            in_specs=(spec_v, spec_v, spec_z, spec_v, spec_v, spec_v),
-            out_specs=((spec_v, spec_z, spec_v),
+            in_specs=((spec_v,) * n_grp, (spec_v,) * n_grp, spec_z, spec_v,
+                      spec_v, spec_v, (spec_v,) * n_grp),
+            out_specs=(((spec_v,) * n_grp, spec_z, spec_v),
                        (P(), P(), spec_v)))
         return self._mesh_run_wrapper(sharded, out_states=True)

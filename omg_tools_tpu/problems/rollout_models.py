@@ -142,6 +142,46 @@ class QuadrotorRollout(_RolloutModel):
         return p, pos
 
 
+class HolonomicOrientRollout(_RolloutModel):
+    """pos0/vel0/tg_ha0/dtg_ha0 parameter set (HolonomicOrient: x, y
+    position splines + tangent-half-angle orientation spline; the
+    derivative parameters enter T-scaled, models/holonomicorient.py
+    get_initial_constraints)."""
+
+    def __init__(self, runner):
+        _RolloutModel.__init__(self, runner)
+        veh = self.vehicle
+        self.i_state0 = self.idx(veh, "pos0")       # (2,) position
+        self.i_vel0 = self.idx(veh, "vel0")
+        self.i_tg0 = self.idx(veh, "tg_ha0")
+        self.i_dtg0 = self.idx(veh, "dtg_ha0")
+        self.i_goal = self.idx(veh, "posT")
+        self.i_tgT = self.idx(veh, "tg_haT")
+        self.E0 = jnp.asarray(self.sample_rows(0), dtype=runner.dtype)
+        self.E1 = jnp.asarray(self.sample_rows(1), dtype=runner.dtype)
+
+    def varying_params(self):
+        return [self.i_state0, self.i_vel0, self.i_tg0, self.i_dtg0,
+                self.i_goal]
+
+    def batch_params(self, p0, starts, goals):
+        p0[:, self.i_state0] = starts[:, :2]
+        p0[:, self.i_vel0] = 0.0
+        p0[:, self.i_goal] = goals[:, :2]
+        return p0
+
+    def update(self, p, cfs, row, horizon):
+        pos = self.E0[row] @ cfs[:, :2]
+        vel = self.E1[row] @ cfs[:, :2] / horizon
+        tg = self.E0[row] @ cfs[:, 2]
+        dtg = self.E1[row] @ cfs[:, 2] / horizon
+        p = p.at[jnp.asarray(self.i_state0)].set(pos)
+        p = p.at[jnp.asarray(self.i_vel0)].set(vel)
+        p = p.at[jnp.asarray(self.i_tg0)].set(tg[None])
+        p = p.at[jnp.asarray(self.i_dtg0)].set(dtg[None])
+        return p, pos
+
+
 class DubinsRollout(_RolloutModel):
     """Splines (v_til, tg_ha); pos0 advances by the exact integral of the
     rationalized unicycle velocities over the step interval."""
@@ -244,6 +284,8 @@ def make_rollout_model(runner):
         return HolonomicRollout(runner)
     if {"v_til0", "tg_ha0", "pos0"} <= names:
         return DubinsRollout(runner)
+    if {"pos0", "vel0", "tg_ha0", "dtg_ha0"} <= names:
+        return HolonomicOrientRollout(runner)
     if {"spl0", "dspl0", "ddspl0"} <= names:
         goal = "poseT" if (veh.label, "poseT") in runner.tr.layout.parameters \
             else "positionT"

@@ -193,3 +193,38 @@ def test_tool_gcode_segment():
     # stays inside the Y tolerance tube and reaches the segment end
     assert np.max(np.abs(S[1])) < 0.25
     np.testing.assert_allclose(S[0, -1], 4.0, atol=1e-1)
+
+
+def test_dubins_substitution_quadratic_structure():
+    """The Dubins 'substitution' quadratic lift (w = tg_ha^2 + position
+    splines with derivative ties, models/dubins.py) makes the whole
+    transcription quadratic: the batched runner detects compact-arrow
+    structure with the w lift as its own tail block, and a cold batched
+    solve converges."""
+    import jax
+    import jax.numpy as jnp
+    from omg_tools_tpu import Obstacle, Circle, Square, Environment
+    vehicle = Dubins(shapes=Circle(0.1), options={"substitution": True},
+                     bounds={"vmax": 0.7, "wmax": np.pi / 3.0,
+                             "wmin": -np.pi / 3.0})
+    vehicle.set_initial_conditions([-1.5, -1.5, 0.0])
+    vehicle.set_terminal_conditions([2.0, 2.0, 0.0])
+    environment = Environment(room={"shape": Square(5.0)})
+    environment.add_obstacle(Obstacle({"position": [0.5, 0.2]},
+                                      shape=Circle(0.4)))
+    problem = Point2point(vehicle, environment, freeT=False)
+    problem.set_options({"verbose": 0})
+    problem.init()
+    from omg_tools_tpu.problems.batch import BatchedP2PRunner
+    from omg_tools_tpu.ops.alm import ALMOptions
+    r = BatchedP2PRunner(problem, dtype=jnp.float32,
+                         alm_options=ALMOptions(inner_iter=8))
+    assert r.structure.startswith("compact-arrow"), r.structure
+    ar = r.compact.arrow
+    # head = splines + xs + ys; w and the hyperplane/slack blocks are tails
+    assert ar.head[1] < r.tr.n_x // 2
+    assert len(ar.blocks) >= 3
+    x0, p0, state = r.make_batch(np.array([[-1.5, -1.5], [-1.3, -1.6]]),
+                                 np.array([[2.0, 2.0], [1.8, 2.1]]))
+    st = jax.jit(r.init_solver_state)(x0, p0, r.consts())
+    assert float(np.max(np.asarray(st.feas))) < 5e-3
