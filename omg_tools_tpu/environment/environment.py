@@ -135,9 +135,14 @@ class Environment(OptiChild):
         and obstacle/path symmetry is broken deterministically."""
         nd = obstacle.n_dim
         try:
-            p0 = np.asarray(vehicle.prediction["state"],
-                            dtype=np.float64)[:nd]
-            pT = np.asarray(vehicle.poseT, dtype=np.float64)[:nd]
+            def _pad(vec):
+                # a vehicle living in fewer dims than the obstacle (e.g.
+                # the 1-D platform-landing vehicle vs its 2-D platform)
+                # is embedded at zero in the missing coordinates
+                v = np.asarray(vec, dtype=np.float64).ravel()[:nd]
+                return np.r_[v, np.zeros(nd - v.size)] if v.size < nd else v
+            p0 = _pad(vehicle.prediction["state"])
+            pT = _pad(vehicle.poseT)
             obs = obstacle.signals["position"][:nd, -1]
         except (KeyError, AttributeError, IndexError):
             return None, None
@@ -145,7 +150,10 @@ class Environment(OptiChild):
         bbox_lo = np.min(chck, axis=0) + obs
         bbox_hi = np.max(chck, axis=0) + obs
         path_dir = pT - p0
-        perp = np.r_[-path_dir[1], path_dir[0], np.zeros(nd - 2)][:nd]
+        if nd >= 2:
+            perp = np.r_[-path_dir[1], path_dir[0], np.zeros(nd - 2)][:nd]
+        else:
+            perp = np.ones(1)   # 1-D: no perpendicular, any nonzero works
         if np.linalg.norm(perp) < 1e-9:
             perp = np.r_[1.0, np.zeros(nd - 1)]
         g = basis.greville()

@@ -323,15 +323,22 @@ def create_l_shape(environment, start, goal, global_path, margin=0.2,
         # already-traversed gap).  Rebuild the corridor from the next
         # waypoint so it tracks the path; keep it only if the vehicle is
         # inside (the local problem's initial state must be coverable).
-        cand = CorridorFrame(environment, path[1], goal,
-                             global_path=path[1:], margin=margin, step=step)
-        if cand.point_in_frame(start):
-            frame1 = cand
-            if frame1.point_in_frame(goal):
-                return [frame1]
-            exit_idx = first_exit(frame1)
-        elif frame1.overlap_with(cand) is not None:
-            return [frame1, cand]
+        # retry from successive later waypoints: the first rebuild can land
+        # on the same degenerate corner geometry (it neither contains the
+        # start nor overlaps frame1), in which case a corridor seeded one
+        # waypoint further usually clears the obstacle band
+        for k in range(1, min(len(path), 4)):
+            cand = CorridorFrame(environment, path[k], goal,
+                                 global_path=path[k:], margin=margin,
+                                 step=step)
+            if cand.point_in_frame(start):
+                frame1 = cand
+                if frame1.point_in_frame(goal):
+                    return [frame1]
+                exit_idx = first_exit(frame1)
+                break
+            if frame1.overlap_with(cand) is not None:
+                return [frame1, cand]
     if exit_idx is None or exit_idx == 0:
         return [frame1]
     corner = path[exit_idx - 1]

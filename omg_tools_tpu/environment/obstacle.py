@@ -194,8 +194,9 @@ class Obstacle(OptiChild):
             self.sim_A = np.asarray(model["A"], dtype=np.float64)
             if model.get("B") is not None:
                 self.sim_B = np.asarray(model["B"], dtype=np.float64)
-        # forced input u(t): zero-order-held between the given sample points
-        # (reference ObstaclexD.ode integrates x' = A x + B u with interp1d)
+        # forced input u(t): linearly interpolated between the given sample
+        # points (reference ObstaclexD.ode integrates x' = A x + B u with
+        # interp1d)
         self._input_traj = None
         traj_in = simulation.get("trajectories", {}).get("input")
         if traj_in is not None:
@@ -275,8 +276,12 @@ class Obstacle(OptiChild):
                 if Gamma is not None:
                     tt, vv = (self._input_traj if self._input_traj is not None
                               else (np.zeros(1), np.zeros((1, Gamma.shape[1]))))
-                    k_in = int(np.searchsorted(tt, t, side="right") - 1)
-                    u = vv[max(k_in, 0)]   # ZOH: sample active at time t
+                    # linear interpolation of the input trajectory at time t,
+                    # matching the reference's interp1d over the stacked input
+                    # series (ref obstacle.py:172-264); np.interp clamps to
+                    # the end samples outside [tt[0], tt[-1]]
+                    u = np.array([np.interp(t, tt, vv[:, j])
+                                  for j in range(vv.shape[1])])
                     x = x + Gamma @ np.atleast_1d(u)
                 n = self.n_dim
                 pos, vel, acc = x[:n].copy(), x[n:2 * n].copy(), \

@@ -160,13 +160,39 @@ class Dubins(Vehicle):
     def set_terminal_conditions(self, pose):
         self.poseT = np.asarray(pose, dtype=np.float64)
 
-    def get_init_spline_value(self):
+    def get_init_spline_value(self, subgoals=None):
+        """Initial guess for the (v_til, tg_ha) splines.  Single segment:
+        ramp tg_ha between the known initial/terminal headings (reference
+        dubins.py get_init_spline_value).  Multi-segment (scheduler /
+        multiframe, subgoals = room-overlap centers): per-node headings
+        from the chord directions (central difference at interior joints),
+        ramped per segment -- the analog of Holonomic's waypoint interp."""
         n = len(self.basis)
-        init = np.zeros((n, 2))
         tg_ha0 = np.tan(self.prediction["state"][2] / 2.0)
-        tg_haT = np.tan(self.poseT[2] / 2.0)
-        init[:, 1] = np.linspace(tg_ha0, tg_haT, n)
-        return [init]
+        # frame goals may be position-only; fall back to the initial heading
+        tg_haT = np.tan(self.poseT[2] / 2.0) if len(self.poseT) > 2 \
+            else tg_ha0
+        n_seg = getattr(self, "n_seg", 1)
+        if n_seg == 1 or not subgoals:
+            init = np.zeros((n, 2))
+            init[:, 1] = np.linspace(tg_ha0, tg_haT, n)
+            return [init] * n_seg if n_seg > 1 else [init]
+        pts = ([np.asarray(self.prediction["state"][:2], dtype=np.float64)]
+               + [np.asarray(s, dtype=np.float64)[:2] for s in subgoals]
+               + [np.asarray(self.poseT[:2], dtype=np.float64)])
+        m = len(pts) - 1          # number of segments
+        node_tg = np.empty(m + 1)
+        node_tg[0], node_tg[m] = tg_ha0, tg_haT
+        for j in range(1, m):
+            d = pts[j + 1] - pts[j - 1]
+            node_tg[j] = np.tan(0.5 * np.arctan2(d[1], d[0])) \
+                if np.linalg.norm(d) > 1e-9 else node_tg[j - 1]
+        out = []
+        for k in range(m):
+            init = np.zeros((n, 2))
+            init[:, 1] = np.linspace(node_tg[k], node_tg[k + 1], n)
+            out.append(init)
+        return out
 
     def check_terminal_conditions(self):
         tol = self.options["stop_tol"]

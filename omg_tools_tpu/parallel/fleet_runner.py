@@ -539,10 +539,11 @@ class FleetRunner:
                 mesh, P() if replicated
                 else P(axis, *([None] * (a.ndim - 1))))
 
-        def run(Xs, Ps, Z, L):
-            """Xs/Ps: per-group (n_i, n_x_g)/(n_i, n_p_g) arrays (bare
-            arrays for a homogeneous fleet); Z:(n_edges, n_sh);
-            L:(N, slots, n_sh)."""
+        def prepare(Xs, Ps, Z, L):
+            """Host side, once: scatter per-group arrays into padded
+            fleet order and place every operand on the mesh.  Xs/Ps:
+            per-group (n_i, n_x_g)/(n_i, n_p_g) arrays (bare arrays for
+            a homogeneous fleet); Z:(n_edges, n_sh); L:(N, slots, n_sh)."""
             single = not isinstance(Xs, (tuple, list))
             Xs = (Xs,) if single else tuple(Xs)
             Ps = (Ps,) if single else tuple(Ps)
@@ -574,8 +575,15 @@ class FleetRunner:
                                  _spec(mask_full))
             tms = [jax.device_put(jnp.asarray(tm, dtype=dt), _spec(tm))
                    for tm in tmasks_full]
-            (Xn, Zn, Ln), res = sharded_fn(tuple(Xf), tuple(Pf), Zp, Lp,
-                                           rel, msk, tuple(tms))
+            return (tuple(Xf), tuple(Pf), Zp, Lp, rel, msk, tuple(tms),
+                    single)
+
+        def run_placed(placed):
+            """Device side: call the shard_mapped function on pre-placed
+            operands and gather results back to group order.  Benchmarks
+            time THIS (host padding/transfer stays out of the loop)."""
+            Xf, Pf, Zp, Lp, rel, msk, tms, single = placed
+            (Xn, Zn, Ln), res = sharded_fn(Xf, Pf, Zp, Lp, rel, msk, tms)
             Xg_out = tuple(Xg[jnp.asarray(g["rows"])]
                            for g, Xg in zip(self._g, Xn))
             if out_states:
@@ -583,6 +591,11 @@ class FleetRunner:
                 res = (pri, dua, states[:N])   # (N, n_steps, n_dim)
             return ((Xg_out[0] if single else Xg_out,
                      Zn[:N] if self.circular else Zn, Ln[:N]), res)
+
+        def run(Xs, Ps, Z, L):
+            return run_placed(prepare(Xs, Ps, Z, L))
+        run.prepare = prepare
+        run.run_placed = run_placed
         return run
 
     def mesh_iterate_fn(self, n_iter, phase=0):

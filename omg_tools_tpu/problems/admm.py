@@ -479,12 +479,18 @@ class ADMMProblem(DistributedProblem):
             if group.alm_state is None:
                 st = group.vsolve(Xj, Pj)
             else:
-                # re-arm the ALM penalty on warm resolves: carried across
-                # consensus iterations it only ever ratchets, eventually
-                # wrecking the f32 Newton conditioning (see
-                # parallel/fleet_runner.py alm_rho_cap)
-                warm = group.alm_state._replace(
-                    rho=jnp.minimum(group.alm_state.rho, 10.0))
+                # re-arm the ALM penalty on f32 warm resolves: carried
+                # across consensus iterations it only ever ratchets,
+                # eventually wrecking the f32 Newton conditioning (see
+                # parallel/fleet_runner.py alm_rho_cap).  The f64 host path
+                # keeps the carried penalty -- there the ratchet is
+                # numerically harmless and the tighter local feasibility
+                # keeps distributed-vs-central deviation small
+                # (compare_distributed_vs_central_quadrotors regressed to
+                # 0.28 m with the cap applied in f64).
+                warm = group.alm_state
+                if warm.rho.dtype == jnp.float32:
+                    warm = warm._replace(rho=jnp.minimum(warm.rho, 10.0))
                 st = group.vresolve(Xj, Pj, warm)
             group.alm_state = jax.tree_util.tree_map(jnp.asarray, st)
             group.X = np.asarray(st.x, dtype=np.float64)

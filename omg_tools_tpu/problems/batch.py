@@ -227,8 +227,18 @@ class BatchedP2PRunner:
             from ..ops.fused_alm import FusedPlan
             plan = FusedPlan(self.compact)
             if plan.vmem_estimate() < 14 * 2 ** 20:
-                self.fused_plan = plan
-                self.structure = "compact-arrow-fused"
+                # some TPU runtimes wedge forever inside the Mosaic
+                # compile/first run of this kernel; on a TPU backend the
+                # (cached, subprocess) probe decides before we commit --
+                # a veto falls back to the unfused compact-arrow path
+                from ..ops.pallas_kernels import _is_tpu_backend
+                ok = True
+                if _is_tpu_backend():
+                    from ..ops.fused_probe import fused_kernel_ok
+                    ok = fused_kernel_ok()
+                if ok:
+                    self.fused_plan = plan
+                    self.structure = "compact-arrow-fused"
 
         self._alm_options = alm_options if alm_options is not None \
             else ALMOptions()

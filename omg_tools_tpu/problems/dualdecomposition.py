@@ -140,6 +140,20 @@ class DDProblem(ADMMProblem):
         # ascent converges monotonically; re-anchoring every iteration
         # would turn this into an (undamped, oscillating) Arrow-Hurwicz
         # primal-dual scheme.
+        #
+        # Accuracy tradeoff (for users tuning alpha / the 'prox' option):
+        # the fixed anchor biases the converged primal toward the
+        # period-start iterate.  First-order bound: the proximal gradient
+        # prox_w*(s - S_prev) perturbs the local stationarity condition,
+        # so the shared-coefficient error vs the true (prox-free) DD
+        # optimum is <= (prox_w / m) * ||s* - S_prev||, with m the local
+        # strong-convexity modulus in s.  Because the anchor is re-set
+        # every control period from the shifted previous solution,
+        # ||s* - S_prev|| contracts as the receding horizon converges and
+        # the bias vanishes in steady state; transient bias scales
+        # linearly with prox_w (= 8*alpha by default), so lowering 'prox'
+        # trades dual-ascent stability margin for per-period accuracy
+        # (cross-checked to < 0.15 m vs ADMM in test_dd_vs_admm_closedloop).
         self.S_prev = np.stack([self._s_of_vehicle(i)
                                 for i in range(self.N)])
 

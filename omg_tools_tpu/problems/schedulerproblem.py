@@ -77,6 +77,13 @@ class SchedulerProblem(Problem):
     # -- build -------------------------------------------------------------
     def init(self):
         self.goal = np.asarray(self.vehicle.poseT[:2], dtype=np.float64)
+        # the user's FULL terminal pose: frame goals are 2-D positions, so
+        # pose-based vehicles (Dubins, HolonomicOrient) need the original
+        # heading restored (global goal) or synthesized from the path
+        # direction (intermediate frame goals) -- ref schedulerproblem.py
+        # :528-551 does the same angle append for Dubins
+        self._goal_pose = np.asarray(self.vehicle.poseT,
+                                     dtype=np.float64).copy()
         self.curr_state = np.asarray(self.vehicle.prediction["state"][:2],
                                      dtype=np.float64)
         veh_size = getattr(self.vehicle.shapes[0], "radius", 0.2)
@@ -187,6 +194,29 @@ class SchedulerProblem(Problem):
                              for cls, members in slots.items())))
         return tuple(sig)
 
+    def _frame_goal(self, frame):
+        """Terminal condition for the last frame: the 2-D frame goal, plus
+        -- for pose-based vehicles -- the user's terminal heading when the
+        frame reaches the global goal, else the direction of the global-path
+        segment arriving at the frame goal (reference schedulerproblem.py
+        :528-551)."""
+        goal = [float(v) for v in np.asarray(frame.goal, dtype=np.float64)]
+        full = getattr(self, "_goal_pose", None)
+        if full is None or len(full) <= len(goal):
+            return goal
+        if np.linalg.norm(np.asarray(goal) - full[:len(goal)]) < 1e-6:
+            return goal + [float(v) for v in full[len(goal):]]
+        gp = [np.asarray(w, dtype=np.float64)
+              for w in (frame.global_path or [])]
+        angle = 0.0
+        if len(gp) >= 2:
+            k = int(np.argmin([np.linalg.norm(w - np.asarray(goal))
+                               for w in gp]))
+            a, b = (gp[k - 1], gp[k]) if k > 0 else (gp[0], gp[1])
+            if np.linalg.norm(b - a) > 1e-9:
+                angle = float(np.arctan2(b[1] - a[1], b[0] - a[0]))
+        return goal + [angle] + [0.0] * (len(full) - len(goal) - 1)
+
     # -- local problem construction / reuse ---------------------------------
     def _generate_problem(self, guess="waypoints", handdown=None):
         """Build or re-target the local problem for the current frames
@@ -194,7 +224,7 @@ class SchedulerProblem(Problem):
         structural signature; a hit is a pure parameter update)."""
         frames = self.frames
         sig = self._signature()
-        self.vehicle.set_terminal_conditions(list(frames[-1].goal))
+        self.vehicle.set_terminal_conditions(self._frame_goal(frames[-1]))
         if sig in self._problem_cache:
             problem = self._problem_cache[sig]
             self._retarget(problem)

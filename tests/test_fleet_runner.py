@@ -123,6 +123,12 @@ def test_fleet_mesh_matches_single_device(formation4):
         res[n_dev] = np.asarray(pri)
     np.testing.assert_allclose(res[4], res[3], atol=1e-9)
     assert res[4][-1] < res[4][0]
+    # the split prepare/run_placed API (what the bench times: host padding
+    # and mesh placement once, device work per call) matches the one-shot
+    # wrapper exactly
+    placed = step.prepare(X, Pp, carry.Z, carry.L)
+    (_, _, _), (pri_placed, _) = step.run_placed(placed)
+    np.testing.assert_allclose(np.asarray(pri_placed), res[3], atol=1e-12)
 
 
 @pytest.mark.slow
